@@ -1,0 +1,98 @@
+"""The device runtime: one jitted render step per frame.
+
+TPU-native replacement of the Vulkan render thread's per-frame work
+(``engine/VulkanEngine.java:244-271,401-431``): where the reference records
+a command buffer (barrier -> dispatch -> barrier -> image copy), submits, and
+fence-waits, here the whole frame — ray-gen, traversal, shading, progressive
+accumulation, exposure, gamma, u8 pack — is a single jitted function whose
+intermediates never leave HBM. Host<->device traffic per frame is one small
+camera pytree in and (on demand) one u8 image out; the accumulation buffer
+is donated so it is updated in place.
+
+Scene swaps are just "pass a different pytree": because scene buffers are
+padded to capacity buckets (scene/builder.py), editing a scene re-uses the
+compiled executable; only outgrowing a bucket recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.core.types import CameraUniforms, GpuScene, RenderConfig
+from raytracer_tpu.kernels.tracer import render_linear
+from raytracer_tpu.utils.log import get_logger
+
+_log = get_logger("vrt")
+
+
+def tonemap(linear: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    """Exposure scale (2**stops) -> sqrt gamma -> u8, matching the
+    reference's sqrt + rgba8-UNORM store (compute_dynamic_ray.comp:235) and
+    implementing the exposure slider the reference left as a TODO
+    (VulkanApp.java:428-452)."""
+    scaled = linear * jnp.exp2(exposure)
+    gamma = jnp.sqrt(jnp.maximum(scaled, 0.0))
+    return jnp.clip(jnp.round(gamma * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _render_step(scene: GpuScene, cam: CameraUniforms, accum: jnp.ndarray,
+                 cfg: RenderConfig):
+    """scene + camera + accumulation -> (new accum, u8 frame, stats)."""
+    spp = cfg.samples_per_pixel
+
+    def sample_body(i, carry):
+        total, rays = carry
+        color, stats = render_linear(scene, cam, cfg, sample_index=i)
+        return total + color, rays + stats["rays_traced"]
+
+    init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+            jnp.float32(0))
+    total, rays = jax.lax.fori_loop(0, spp, sample_body, init)
+    linear = total / jnp.float32(spp)
+
+    # Progressive running average keyed on frame_count — the accumulation
+    # the reference wired through the UBO but never implemented in the
+    # shipped kernel (SURVEY.md discrepancy #1).
+    fc = cam.frame_count.astype(jnp.float32)
+    new_accum = (accum * fc + linear) / (fc + 1.0)
+
+    image = tonemap(new_accum, cam.exposure)
+    stats = {
+        "rays_traced": rays,
+        "samples": (fc + 1.0) * spp,
+    }
+    return new_accum, image, stats
+
+
+class Renderer:
+    """Compiled render-step cache + accumulation buffer lifecycle."""
+
+    def __init__(self, config: Optional[RenderConfig] = None):
+        self.cfg = config or RenderConfig()
+        self._step = jax.jit(
+            functools.partial(_render_step, cfg=self.cfg),
+            donate_argnums=(2,),
+        )
+
+    def new_accumulator(self) -> jnp.ndarray:
+        return jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
+
+    def render(self, scene: GpuScene, cam: CameraUniforms,
+               accum: Optional[jnp.ndarray] = None):
+        """One frame. Returns (accum', u8 image [H,W,3] device array, stats).
+
+        Pass ``accum=None`` (or frame_count==0 with a fresh buffer) to start
+        a new accumulation run.
+        """
+        if accum is None:
+            accum = self.new_accumulator()
+        return self._step(scene, cam, accum)
+
+    def render_to_numpy(self, scene, cam, accum=None):
+        accum, image, stats = self.render(scene, cam, accum)
+        return accum, np.asarray(image), jax.tree.map(float, stats)

@@ -1,0 +1,87 @@
+"""PCG hash RNG, vectorized with per-ray masked advancement.
+
+Bit-faithful port of the reference's RNG (``compute_dynamic_ray.comp:50-74``):
+``pcg(uint)`` hash, ``randomFloat`` = next-state / 2^32-1, and
+``randomVec3InUnitSphere`` which (quirk preserved) first draws and discards a
+3-vector, then rejection-samples until a point lands inside the unit sphere.
+
+The GLSL version runs per-thread, so each ray's RNG stream length depends on
+its own rejection count. Vectorized lockstep would desynchronize streams, so
+every draw is masked: a ray's seed only advances where that ray actually
+draws. The rejection loop is a ``lax.while_loop`` that keeps drawing for
+not-yet-accepted rays only — statistically *and* stream-exactly equivalent
+to the reference's unbounded per-thread loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pcg(v: jnp.ndarray) -> jnp.ndarray:
+    """The PCG output hash (compute_dynamic_ray.comp:52-56). u32 -> u32."""
+    v = v.astype(jnp.uint32)
+    state = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = ((state >> ((state >> jnp.uint32(28)) + jnp.uint32(4))) ^ state) \
+        * jnp.uint32(277803737)
+    return (word >> jnp.uint32(22)) ^ word
+
+
+_INV_U32_MAX = None  # computed lazily to honor current dtype config
+
+
+def _to_unit_float(seed: jnp.ndarray) -> jnp.ndarray:
+    # GLSL: float(seed) / float(0xFFFFFFFFu); float(0xFFFFFFFFu) rounds to
+    # 2^32 in f32, and so does the numerator conversion — matching exactly.
+    return seed.astype(jnp.float32) / jnp.float32(4294967295.0)
+
+
+def random_float(seed: jnp.ndarray, active: jnp.ndarray):
+    """One masked draw. Returns (new_seed, value). value is unspecified
+    (but finite) where ``active`` is False."""
+    new_seed = jnp.where(active, pcg(seed), seed)
+    return new_seed, _to_unit_float(new_seed)
+
+
+def random_vec3(seed, active):
+    """Three sequential masked draws -> (seed, f32[..., 3])."""
+    seed, x = random_float(seed, active)
+    seed, y = random_float(seed, active)
+    seed, z = random_float(seed, active)
+    return seed, jnp.stack([x, y, z], axis=-1)
+
+
+def random_vec3_in_unit_sphere(seed, active, max_iters: int | None = None):
+    """Masked rejection sampling of a point in the unit ball.
+
+    Preserves the reference's stream structure: 3 draws for the discarded
+    ``temp`` vector, then 3 draws per rejection round. ``max_iters`` bounds
+    the loop for interpret/debug use; None = loop until every active ray
+    accepts (expected ~1.9 rounds; P(reject) = 1 - pi/6 per round).
+    """
+    # Discarded temp draw (compute_dynamic_ray.comp:64) — stream parity.
+    seed, _ = random_vec3(seed, active)
+
+    zero = jnp.zeros(active.shape + (3,), jnp.float32)
+
+    def cond(carry):
+        _, _, accepted, it = carry
+        pending = jnp.any(jnp.logical_and(active, ~accepted))
+        if max_iters is None:
+            return pending
+        return jnp.logical_and(pending, it < max_iters)
+
+    def body(carry):
+        s, p, accepted, it = carry
+        need = jnp.logical_and(active, ~accepted)
+        s, v = random_vec3(s, need)
+        cand = v * 2.0 - 1.0
+        ok = jnp.sum(cand * cand, axis=-1) < 1.0
+        take = jnp.logical_and(need, ok)
+        p = jnp.where(take[..., None], cand, p)
+        return s, p, jnp.logical_or(accepted, take), it + 1
+
+    seed, p, _, _ = jax.lax.while_loop(
+        cond, body, (seed, zero, ~active, jnp.int32(0)))
+    return seed, p

@@ -1,0 +1,154 @@
+"""Scene build pipeline: instances -> transformed soup -> BVH -> GpuScene.
+
+The TPU-native Scene Rebuild Thread ("SRT", reference
+``renderer/SceneBuilder.java:38-118``): per instance, load the .obj,
+scale-then-translate every vertex, bake the instance color + material type
+per triangle, then build one unified BVH over everything, reorder triangles
+into flattened order, and pack device buffers.
+
+Differences from the reference:
+* failed model loads are skipped with a warning (same policy,
+  ``SceneBuilder.java:55-58``), empty scenes yield a valid 0-triangle scene
+  (dummy-buffer analogue of ``VulkanEngine.java:362-364``);
+* device buffers are padded to power-of-two *capacity buckets* so that jit
+  recompiles happen only when a scene outgrows its bucket, never on ordinary
+  edits (the reference re-binds descriptor sets instead,
+  ``VulkanEngine.java:318-373``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import numpy as np
+
+from raytracer_tpu.bvh.build import build_bvh
+from raytracer_tpu.core.types import FlatBVH, GpuScene
+from raytracer_tpu.scene.objloader import load_obj
+from raytracer_tpu.scene.scene import ModelInstance
+from raytracer_tpu.utils.log import get_logger
+
+_log = get_logger("srt")
+
+_MIN_CAPACITY = 64
+_BIG = np.float32(1e30)
+
+
+def _bucket(n: int) -> int:
+    """Smallest power-of-two capacity >= n (minimum 64)."""
+    c = _MIN_CAPACITY
+    while c < n:
+        c *= 2
+    return c
+
+
+def gather_triangles(
+    instances: Sequence[ModelInstance],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load + transform all instances -> (verts f32[T,3,3], mats f32[T,4])."""
+    all_verts = []
+    all_mats = []
+    for i, inst in enumerate(instances):
+        try:
+            tris = load_obj(inst.model_path)
+        except Exception as e:  # skip-and-continue policy
+            _log.warning("failed to load model %s (%s): %s",
+                         inst.display_name, inst.model_path, e)
+            continue
+        if tris.shape[0] == 0:
+            continue
+        tris = inst.transform(tris)
+        mat = np.empty((tris.shape[0], 4), np.float32)
+        mat[:, 0:3] = np.asarray(inst.color, np.float32)
+        mat[:, 3] = inst.material_type
+        all_verts.append(tris.astype(np.float32))
+        all_mats.append(mat)
+        _log.debug("instance [%d] %s: %d triangles", i, inst.display_name,
+                   tris.shape[0])
+    if not all_verts:
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0, 4), np.float32)
+    return np.concatenate(all_verts), np.concatenate(all_mats)
+
+
+def build_gpu_scene(
+    instances: Sequence[ModelInstance],
+    leaf_size: int = 1,
+    device=None,
+) -> GpuScene:
+    """Full SRT pass -> device-resident GpuScene pytree."""
+    verts, mats = gather_triangles(instances)
+    return build_gpu_scene_from_arrays(verts, mats, leaf_size=leaf_size,
+                                       device=device)
+
+
+def build_gpu_scene_from_arrays(
+    verts: np.ndarray,
+    mats: np.ndarray,
+    leaf_size: int = 1,
+    device=None,
+) -> GpuScene:
+    """Pack an already-transformed triangle soup into a device scene."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    verts = np.asarray(verts, np.float32)
+    mats = np.asarray(mats, np.float32)
+    n = verts.shape[0]
+
+    if n == 0:
+        # Valid empty scene: one unreachable leaf (inverted AABB never hits),
+        # one degenerate triangle.
+        tcap = _MIN_CAPACITY
+        mcap = _MIN_CAPACITY
+        host = dict(
+            node_min=np.full((mcap, 3), _BIG, np.float32),
+            node_max=np.full((mcap, 3), -_BIG, np.float32),
+            node_tri=np.zeros(mcap, np.int32),
+            node_skip=np.ones(mcap, np.int32),
+            node_data=np.full(mcap, -1, np.int32),
+            node_count=np.full(mcap, -1, np.int32),
+        )
+        tri_verts = np.zeros((tcap, 3, 3), np.float32)
+        materials = np.zeros((tcap, 4), np.float32)
+        num_tris, num_nodes = 0, 1
+    else:
+        bvh = build_bvh(verts, leaf_size=leaf_size)
+        tcap = _bucket(n)
+        mcap = _bucket(bvh.num_nodes)
+
+        tri_verts = np.zeros((tcap, 3, 3), np.float32)
+        tri_verts[:n] = verts[bvh.order]
+        materials = np.zeros((tcap, 4), np.float32)
+        materials[:n] = mats[bvh.order]
+
+        host = dict(
+            node_min=np.full((mcap, 3), _BIG, np.float32),
+            node_max=np.full((mcap, 3), -_BIG, np.float32),
+            node_tri=np.zeros(mcap, np.int32),
+            node_skip=np.full(mcap, bvh.num_nodes, np.int32),
+            node_data=np.full(mcap, -1, np.int32),
+            node_count=np.full(mcap, -1, np.int32),
+        )
+        host["node_min"][:bvh.num_nodes] = bvh.node_min
+        host["node_max"][:bvh.num_nodes] = bvh.node_max
+        host["node_tri"][:bvh.num_nodes] = bvh.node_tri
+        host["node_skip"][:bvh.num_nodes] = bvh.node_skip
+        host["node_data"][:bvh.num_nodes] = bvh.node_data
+        host["node_count"][:bvh.num_nodes] = bvh.node_count
+        num_tris, num_nodes = n, bvh.num_nodes
+
+    put = (lambda x: jax.device_put(jnp.asarray(x), device)) if device \
+        else (lambda x: jnp.asarray(x))
+    scene = GpuScene(
+        bvh=FlatBVH(**{k: put(v) for k, v in host.items()}),
+        tri_verts=put(tri_verts),
+        materials=put(materials),
+        num_triangles=put(np.int32(num_tris)),
+        num_nodes=put(np.int32(num_nodes)),
+    )
+    _log.info("scene built: %d tris, %d nodes (caps %d/%d) in %.1f ms",
+              num_tris, num_nodes, tcap, mcap,
+              (time.perf_counter() - t0) * 1e3)
+    return scene
