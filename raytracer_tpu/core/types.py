@@ -153,10 +153,16 @@ class RenderConfig:
     # albedo. False: bit-parity with the shipped kernel, which absorbs
     # unknown material types to black (compute_dynamic_ray.comp:153).
     emissive_emits: bool = True
+    # "packet": tile-based fast path (kernels/packet.py, needs a FastScene,
+    # resolution divisible by 8). "wavefront": per-ray reference-faithful
+    # path (kernels/tracer.py, needs a GpuScene).
+    kernel: str = "packet"
 
     def __post_init__(self):
         if self.rng_mode not in ("reference", "progressive"):
             raise ValueError(f"bad rng_mode: {self.rng_mode}")
+        if self.kernel not in ("packet", "wavefront"):
+            raise ValueError(f"bad kernel: {self.kernel}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("resolution must be positive")
         if self.max_bounces < 1:

@@ -40,14 +40,18 @@ def tonemap(linear: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(gamma * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 
-def _render_step(scene: GpuScene, cam: CameraUniforms, accum: jnp.ndarray,
+def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
                  cfg: RenderConfig):
     """scene + camera + accumulation -> (new accum, u8 frame, stats)."""
     spp = cfg.samples_per_pixel
+    if cfg.kernel == "packet":
+        from raytracer_tpu.kernels.packet import render_linear_fast as rl
+    else:
+        rl = render_linear
 
     def sample_body(i, carry):
         total, rays = carry
-        color, stats = render_linear(scene, cam, cfg, sample_index=i)
+        color, stats = rl(scene, cam, cfg, sample_index=i)
         return total + color, rays + stats["rays_traced"]
 
     init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),

@@ -152,3 +152,92 @@ def build_gpu_scene_from_arrays(
               num_tris, num_nodes, tcap, mcap,
               (time.perf_counter() - t0) * 1e3)
     return scene
+
+
+def build_fast_scene(instances: Sequence[ModelInstance], device=None):
+    verts, mats = gather_triangles(instances)
+    return build_fast_scene_from_arrays(verts, mats, device=device)
+
+
+def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
+                                 device=None):
+    """Pack a triangle soup into the packet-tracer layout (FastScene).
+
+    leaf_size = CLUSTER_SIZE (8): each leaf's triangles are packed into one
+    128-float row carrying vertices + baked material, so a leaf visit is a
+    single fat-row gather (PERF_NOTES.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.core.fast_types import (
+        CLUSTER_ROW, CLUSTER_SIZE, FastScene, TRI_STRIDE)
+
+    t0 = time.perf_counter()
+    verts = np.asarray(verts, np.float32)
+    mats = np.asarray(mats, np.float32)
+    n = verts.shape[0]
+
+    if n == 0:
+        mcap = _MIN_CAPACITY
+        nodes8 = np.zeros((mcap, 8), np.float32)
+        nodes8[:, 0:3] = _BIG
+        nodes8[:, 3:6] = -_BIG
+        nodes8[:, 6] = np.full((), 1, np.int32).view(np.float32)  # skip
+        nodes8[:, 7] = np.full((), 0, np.int32).view(np.float32)  # leaf 0
+        clusters = np.zeros((_MIN_CAPACITY, CLUSTER_ROW), np.float32)
+        num_nodes = 1
+    else:
+        bvh = build_bvh(verts, leaf_size=CLUSTER_SIZE)
+        m = bvh.num_nodes
+        mcap = _bucket(m)
+        num_leaves = int((bvh.node_tri >= 0).sum())
+        lcap = _bucket(num_leaves)
+
+        # Leaf id = dense index in pre-order leaf order; node_tri is the
+        # first flattened-triangle index, which is leaf-ordered, so leaf id
+        # = node_tri // CLUSTER_SIZE only when every leaf is full. Assign
+        # explicitly instead.
+        leaf_mask = bvh.node_tri >= 0
+        leaf_ids = np.full(m, -1, np.int32)
+        leaf_ids[leaf_mask] = np.arange(num_leaves, dtype=np.int32)
+
+        nodes8 = np.zeros((mcap, 8), np.float32)
+        nodes8[:, 0:3] = _BIG
+        nodes8[:, 3:6] = -_BIG
+        nodes8[:m, 0:3] = bvh.node_min
+        nodes8[:m, 3:6] = bvh.node_max
+        skips = np.full(mcap, m, np.int32)
+        skips[:m] = bvh.node_skip
+        nodes8[:, 6] = skips.view(np.float32)
+        lids = np.zeros(mcap, np.int32)
+        lids[:m] = leaf_ids
+        nodes8[:, 7] = lids.view(np.float32)
+
+        # Pack clusters: [L, 8 tris x 16 floats]. Padding triangles are
+        # degenerate (zeros -> det == 0 -> never hit).
+        ordered_v = verts[bvh.order]          # [n, 3, 3]
+        ordered_m = mats[bvh.order]           # [n, 4]
+        clusters = np.zeros((lcap, CLUSTER_ROW), np.float32)
+        leaf_nodes = np.nonzero(leaf_mask)[0]
+        for li, node in enumerate(leaf_nodes):
+            start = int(bvh.node_tri[node])
+            count = int(bvh.node_ntri[node])
+            row = clusters[li].reshape(CLUSTER_SIZE, TRI_STRIDE)
+            row[:count, 0:9] = ordered_v[start:start + count].reshape(
+                count, 9)
+            row[:count, 9:12] = ordered_m[start:start + count, 0:3]
+            row[:count, 12] = ordered_m[start:start + count, 3]
+        num_nodes = m
+
+    put = (lambda x: jax.device_put(jnp.asarray(x), device)) if device \
+        else (lambda x: jnp.asarray(x))
+    fs = FastScene(
+        nodes8=put(nodes8),
+        clusters=put(clusters),
+        num_nodes=put(np.int32(num_nodes)),
+        num_triangles=put(np.int32(n)),
+    )
+    _log.info("fast scene packed: %d tris, %d nodes in %.1f ms",
+              n, num_nodes, (time.perf_counter() - t0) * 1e3)
+    return fs

@@ -1,0 +1,86 @@
+"""Packet (tile) tracer vs per-ray wavefront tracer: identical images.
+
+The packet kernel changes traversal *order* only; strict closest-t
+comparisons make the result order-independent, so the two kernels must
+agree to float tolerance on every pixel — transitively giving the packet
+path the same GLSL-oracle parity the wavefront path is tested for.
+"""
+
+import numpy as np
+
+from raytracer_tpu.core.camera import Camera
+from raytracer_tpu.core.types import RenderConfig
+from raytracer_tpu.kernels.packet import render_linear_fast
+from raytracer_tpu.kernels.tracer import render_linear
+from raytracer_tpu.scene.builder import (build_fast_scene_from_arrays,
+                                         build_gpu_scene_from_arrays)
+from raytracer_tpu.utils import assets
+
+W, H = 32, 24
+
+
+def _scenes(mat_cube=0.0, mat_sphere=1.0):
+    cube = assets.make_cube() * 4.0 + np.array([0, -6, 0], np.float32)
+    sphere = assets.make_icosphere(2, 3.0) + np.array([6, -3, 2], np.float32)
+    plane = (assets.make_ground_plane() * np.array([150, 1, 150], np.float32)
+             + np.array([0, -10, 0], np.float32))
+    verts = np.concatenate([plane, cube, sphere])
+    mats = np.zeros((verts.shape[0], 4), np.float32)
+    mats[:2, 0:3] = (0.5, 0.5, 0.5)
+    mats[2:14, 0:3] = (1.0, 0.2, 0.2)
+    mats[2:14, 3] = mat_cube
+    mats[14:, 0:3] = (0.7, 0.7, 0.2)
+    mats[14:, 3] = mat_sphere
+    return (build_gpu_scene_from_arrays(verts, mats),
+            build_fast_scene_from_arrays(verts, mats))
+
+
+def _cam():
+    return Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                  vfov_deg=40.0, aspect_ratio=W / H)
+
+
+def _compare(mat_cube=0.0, mat_sphere=1.0, sky=True, rng="reference"):
+    slow_scene, fast_scene = _scenes(mat_cube, mat_sphere)
+    cfg_slow = RenderConfig(width=W, height=H, rng_mode=rng,
+                            kernel="wavefront")
+    cfg_fast = RenderConfig(width=W, height=H, rng_mode=rng, kernel="packet")
+    uni = _cam().uniforms(sky_enabled=sky)
+    a, stats_a = render_linear(slow_scene, uni, cfg_slow)
+    b, stats_b = render_linear_fast(fast_scene, uni, cfg_fast)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    assert float(stats_b["rays_traced"]) == float(stats_a["rays_traced"])
+
+
+def test_packet_matches_wavefront_lambertian():
+    _compare(0.0, 0.0)
+
+
+def test_packet_matches_wavefront_metal_mix():
+    _compare(0.0, 1.0)
+
+
+def test_packet_matches_wavefront_fuzzy_emissive():
+    _compare(3.0, 2.0, sky=False)
+
+
+def test_packet_matches_wavefront_progressive_rng():
+    _compare(0.0, 1.0, rng="progressive")
+
+
+def test_packet_rejects_unaligned_resolution():
+    import pytest
+
+    _, fast_scene = _scenes()
+    cfg = RenderConfig(width=30, height=20, kernel="packet")
+    with pytest.raises(ValueError):
+        render_linear_fast(fast_scene, _cam().uniforms(), cfg)
+
+
+def test_packet_empty_scene():
+    from raytracer_tpu.scene.builder import build_fast_scene
+
+    scene = build_fast_scene([])
+    cfg = RenderConfig(width=W, height=H, kernel="packet")
+    img, _ = render_linear_fast(scene, _cam().uniforms(), cfg)
+    assert np.asarray(img).mean() > 0.4  # sky
