@@ -1,0 +1,286 @@
+// raytpu_native: host-side hot loops in C++ (the "native runtime" layer).
+//
+// The reference consumes its native layer as prebuilt LWJGL JNI bindings
+// (Assimp .obj import + Vulkan driver calls); our equivalents are a fast
+// Wavefront .obj parser and the BVH build/flatten pipeline (the two CPU
+// hot loops of the Scene Rebuild Thread, reference
+// renderer/SceneBuilder.java + bvh/BVHBuilder.java + bvh/BVHFlattener.java).
+//
+// Semantics mirror raytracer_tpu/bvh/build.py: deterministic longest-axis
+// median split, pre-order flatten, reference node encoding
+// (leaf: data=-(tri+1), count=-1; internal: data=left=i+1, count=right)
+// plus skip links for stackless traversal. Exposed via a plain C ABI for
+// ctypes.
+//
+// Build: make -C native   (produces raytpu_native.so)
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+constexpr float kAabbEps = 1e-4f;  // reference Triangle.java:61-71
+
+struct Seg {
+  int64_t start, end, skip;
+};
+
+}  // namespace
+
+extern "C" {
+
+void rt_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// .obj loader: positions + faces (v / v/vt / v//vn / v/vt/vn), negative
+// indices, fan triangulation of n-gons (same policy as
+// raytracer_tpu/scene/objloader.py and aiProcess_Triangulate).
+// Returns triangle count; *out_tris is malloc'd [T, 3, 3] float32 (caller
+// frees with rt_free). Returns -1 on IO error, -2 on parse error.
+// ---------------------------------------------------------------------------
+int64_t rt_load_obj(const char* path, float** out_tris) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (std::fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+  buf[size] = '\0';
+
+  std::vector<float> verts;        // xyz triples
+  std::vector<int64_t> tri_idx;    // vertex-index triples
+  std::vector<int64_t> face;       // scratch
+
+  char* p = buf.data();
+  char* end = buf.data() + size;
+  while (p < end) {
+    // isolate line
+    char* line = p;
+    while (p < end && *p != '\n') ++p;
+    char saved = *p;
+    *p = '\0';
+
+    while (*line == ' ' || *line == '\t' || *line == '\r') ++line;
+    if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+      char* q = line + 2;
+      float x = std::strtof(q, &q);
+      float y = std::strtof(q, &q);
+      float z = std::strtof(q, &q);
+      verts.push_back(x);
+      verts.push_back(y);
+      verts.push_back(z);
+    } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+      face.clear();
+      char* q = line + 2;
+      while (*q) {
+        while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+        if (!*q) break;
+        long long i = std::strtoll(q, &q, 10);
+        if (i == 0) return -2;
+        int64_t nverts = static_cast<int64_t>(verts.size() / 3);
+        face.push_back(i > 0 ? i - 1 : nverts + i);
+        // skip /vt/vn part
+        while (*q && *q != ' ' && *q != '\t' && *q != '\r') ++q;
+      }
+      for (size_t k = 1; k + 1 < face.size(); ++k) {  // fan
+        tri_idx.push_back(face[0]);
+        tri_idx.push_back(face[k]);
+        tri_idx.push_back(face[k + 1]);
+      }
+    }
+    *p = saved;
+    if (p < end) ++p;
+  }
+
+  int64_t t = static_cast<int64_t>(tri_idx.size() / 3);
+  float* out = static_cast<float*>(std::malloc(sizeof(float) * t * 9));
+  if (!out) return -1;
+  int64_t nverts = static_cast<int64_t>(verts.size() / 3);
+  for (int64_t i = 0; i < t * 3; ++i) {
+    int64_t vi = tri_idx[i];
+    if (vi < 0 || vi >= nverts) {
+      std::free(out);
+      return -2;
+    }
+    out[i * 3 + 0] = verts[vi * 3 + 0];
+    out[i * 3 + 1] = verts[vi * 3 + 1];
+    out[i * 3 + 2] = verts[vi * 3 + 2];
+  }
+  *out_tris = out;
+  return t;
+}
+
+// ---------------------------------------------------------------------------
+// Node count for a median-split tree over n triangles (k -> k/2, k-k/2,
+// leaf at k <= leaf_size) — callers preallocate with this.
+// ---------------------------------------------------------------------------
+int64_t rt_bvh_node_count(int64_t n, int32_t leaf_size) {
+  if (n <= 0) return 0;
+  int64_t total = 0;
+  std::vector<int64_t> stack{n};
+  while (!stack.empty()) {
+    int64_t k = stack.back();
+    stack.pop_back();
+    ++total;
+    if (k > leaf_size) {
+      stack.push_back(k / 2);
+      stack.push_back(k - k / 2);
+    }
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// BVH build + pre-order flatten with skip links.
+// tris: [n, 3, 3] f32. Outputs preallocated by caller:
+//   node_min/node_max: [m, 3] f32; node_tri/node_ntri/node_skip/node_data/
+//   node_count: [m] i32; order: [n] i64 (flattened position -> source tri).
+// Returns node count m, or -1 on error.
+// ---------------------------------------------------------------------------
+int64_t rt_build_bvh(const float* tris, int64_t n, int32_t leaf_size,
+                     float* node_min, float* node_max, int32_t* node_tri,
+                     int32_t* node_ntri, int32_t* node_skip,
+                     int32_t* node_data, int32_t* node_count,
+                     int64_t* order) {
+  if (n <= 0 || leaf_size < 1) return -1;
+  const int64_t m = rt_bvh_node_count(n, leaf_size);
+
+  // Per-triangle AABBs (epsilon-padded on thin axes) + centers.
+  std::vector<float> lo(n * 3), hi(n * 3), center(n * 3);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      float a = tris[i * 9 + 0 + ax];
+      float b = tris[i * 9 + 3 + ax];
+      float c = tris[i * 9 + 6 + ax];
+      float mn = std::min(a, std::min(b, c));
+      float mx = std::max(a, std::max(b, c));
+      if (mx - mn < kAabbEps) {
+        mn -= kAabbEps;
+        mx += kAabbEps;
+      }
+      lo[i * 3 + ax] = mn;
+      hi[i * 3 + ax] = mx;
+      center[i * 3 + ax] = 0.5f * (mn + mx);
+    }
+  }
+
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+
+  int64_t next_node = 0;
+  int64_t next_tri = 0;
+  std::vector<Seg> stack;
+  stack.push_back({0, n, m});
+
+  while (!stack.empty()) {
+    Seg seg = stack.back();
+    stack.pop_back();
+    const int64_t my = next_node++;
+    const int64_t k = seg.end - seg.start;
+
+    float bmin[3] = {INFINITY, INFINITY, INFINITY};
+    float bmax[3] = {-INFINITY, -INFINITY, -INFINITY};
+    for (int64_t i = seg.start; i < seg.end; ++i) {
+      const int64_t t = idx[i];
+      for (int ax = 0; ax < 3; ++ax) {
+        bmin[ax] = std::min(bmin[ax], lo[t * 3 + ax]);
+        bmax[ax] = std::max(bmax[ax], hi[t * 3 + ax]);
+      }
+    }
+    for (int ax = 0; ax < 3; ++ax) {
+      node_min[my * 3 + ax] = bmin[ax];
+      node_max[my * 3 + ax] = bmax[ax];
+    }
+    node_skip[my] = static_cast<int32_t>(seg.skip);
+
+    if (k <= leaf_size) {
+      node_tri[my] = static_cast<int32_t>(next_tri);
+      node_ntri[my] = static_cast<int32_t>(k);
+      node_data[my] = -static_cast<int32_t>(next_tri + 1);
+      node_count[my] = -1;
+      for (int64_t i = 0; i < k; ++i) order[next_tri + i] = idx[seg.start + i];
+      next_tri += k;
+      continue;
+    }
+
+    int axis = 0;
+    float ext = bmax[0] - bmin[0];
+    for (int ax = 1; ax < 3; ++ax) {
+      float e = bmax[ax] - bmin[ax];
+      if (e > ext) {
+        ext = e;
+        axis = ax;
+      }
+    }
+
+    int64_t* base = idx.data() + seg.start;
+    if (k == 2) {
+      if (center[base[0] * 3 + axis] > center[base[1] * 3 + axis])
+        std::swap(base[0], base[1]);
+    } else {
+      std::nth_element(base, base + k / 2, base + k,
+                       [&](int64_t a, int64_t b) {
+                         return center[a * 3 + axis] < center[b * 3 + axis];
+                       });
+    }
+    const int64_t mid = seg.start + k / 2;
+
+    int64_t left_nodes = rt_bvh_node_count(k / 2, leaf_size);
+    int64_t right_index = my + 1 + left_nodes;
+    node_tri[my] = -1;
+    node_ntri[my] = 0;
+    node_data[my] = static_cast<int32_t>(my + 1);
+    node_count[my] = static_cast<int32_t>(right_index);
+    stack.push_back({mid, seg.end, seg.skip});       // right (popped last)
+    stack.push_back({seg.start, mid, right_index});  // left (popped first)
+  }
+
+  return (next_node == m && next_tri == n) ? m : -1;
+}
+
+// ---------------------------------------------------------------------------
+// Cluster packing for the packet tracer (FastScene layout): leaves of the
+// (leaf_size=8) BVH into [L, 128] rows of 8x16 floats
+// (v0 v1 v2 albedo type pad3), using the flatten order.
+// verts: [n,3,3] source tris; mats: [n,4]; outputs preallocated.
+// ---------------------------------------------------------------------------
+void rt_pack_clusters(const float* verts, const float* mats, int64_t n,
+                      const int64_t* order, const int32_t* node_tri,
+                      const int32_t* node_ntri, int64_t m,
+                      int32_t cluster_size, int32_t tri_stride,
+                      float* clusters, int32_t* leaf_ids) {
+  int32_t li = 0;
+  for (int64_t node = 0; node < m; ++node) {
+    if (node_tri[node] < 0) {
+      leaf_ids[node] = -1;
+      continue;
+    }
+    leaf_ids[node] = li;
+    const int64_t start = node_tri[node];
+    const int32_t count = node_ntri[node];
+    float* row = clusters + static_cast<int64_t>(li) * cluster_size *
+                     tri_stride;
+    for (int32_t j = 0; j < count; ++j) {
+      const int64_t src = order[start + j];
+      float* t = row + j * tri_stride;
+      std::memcpy(t, verts + src * 9, 9 * sizeof(float));
+      t[9] = mats[src * 4 + 0];
+      t[10] = mats[src * 4 + 1];
+      t[11] = mats[src * 4 + 2];
+      t[12] = mats[src * 4 + 3];
+    }
+    ++li;
+  }
+}
+
+}  // extern "C"

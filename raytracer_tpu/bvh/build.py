@@ -88,7 +88,28 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
     Returns:
       HostBVH whose ``order`` reorders triangles into flattened (leaf) order,
       the analogue of ``BVHFlattener.flattenedTriangles``.
+
+    Uses the C++ builder (native/raytpu_native.cpp) when available; the
+    NumPy implementation below is the reference/fallback. RAYTPU_NATIVE=0
+    disables the native path.
     """
+    import os
+
+    if os.environ.get("RAYTPU_NATIVE", "1") != "0" and len(tris):
+        try:
+            from raytracer_tpu import native_bridge
+
+            bvh = native_bridge.build_bvh(np.asarray(tris, np.float32),
+                                          leaf_size)
+            if bvh is not None:
+                return bvh
+        except Exception:
+            _log.exception("native BVH build failed; using NumPy")
+    return build_bvh_numpy(tris, leaf_size)
+
+
+def build_bvh_numpy(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
+    """Pure-NumPy reference implementation."""
     t0 = time.perf_counter()
     tris = np.asarray(tris, np.float32)
     n = tris.shape[0]

@@ -157,6 +157,10 @@ class RenderConfig:
     # resolution divisible by 8). "wavefront": per-ray reference-faithful
     # path (kernels/tracer.py, needs a GpuScene).
     kernel: str = "packet"
+    # Frames render as horizontal bands of at most ~this many rays via one
+    # lax.scan (bounded peak memory; band shapes stay in the
+    # backend-validated zone). 0 disables banding.
+    band_rays: int = 262144
 
     def __post_init__(self):
         if self.rng_mode not in ("reference", "progressive"):

@@ -1,0 +1,212 @@
+"""The three-"thread" runtime: UI / render loop / scene rebuild.
+
+Reproduces the reference's decoupled architecture (README.md:22-25) with
+the same single-writer ownership discipline that its
+"(3-THREAD-RACE-CONDITION-FIX)" comments document (``VulkanApp.java:34-38``,
+``VulkanEngine.java:34-41``):
+
+* the **app/UI** owns all mutable state: camera, scene graph, accumulation
+  counter, sky/exposure settings;
+* the **render thread** ("VRT") is a dumb consumer: it drains
+  drain-to-latest mailboxes (camera / scene / settings — the analogue of
+  the reference's ``ConcurrentLinkedQueue``s, ``VulkanEngine.java:59-63``)
+  and publishes frames into a latest-frame mailbox
+  (``AtomicReference<FrameData>``, ``VulkanApp.java:70``);
+* **scene rebuilds** ("SRT") run in a worker pool; while one is in flight
+  the accumulation counter is paused (``VulkanApp.java:199-208``), and on
+  completion the new device scene is swapped in and accumulation resets.
+
+Failure policy mirrors the reference: a rebuild failure keeps the old
+scene rendering (``VulkanApp.java:270-272``); a render-step failure is
+logged and the loop continues; ``stop()`` joins gracefully with a 5 s
+timeout (``VulkanEngine.java:142-150``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from raytracer_tpu.core.camera import Camera
+from raytracer_tpu.core.types import RenderConfig
+from raytracer_tpu.engine.renderer import Renderer
+from raytracer_tpu.scene.builder import build_fast_scene, build_gpu_scene
+from raytracer_tpu.scene.scene import Scene
+from raytracer_tpu.utils.log import get_logger
+
+_log_vrt = get_logger("vrt")
+_log_srt = get_logger("srt")
+
+
+@dataclasses.dataclass
+class FrameData:
+    """VRT -> UI frame mailbox payload (reference renderer/FrameData.java,
+    with the 'RENDER STATISTICS' TODO actually implemented)."""
+
+    pixels: np.ndarray          # u8[H, W, 3]
+    frame_number: int
+    samples: float
+    rays_traced: float
+    render_ms: float
+
+
+class _Mailbox:
+    """Drain-to-latest single-slot mailbox."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._value = None
+        self._fresh = False
+
+    def put(self, value) -> None:
+        with self._lock:
+            self._value = value
+            self._fresh = True
+
+    def take(self):
+        """Return (value, fresh) and clear the fresh flag."""
+        with self._lock:
+            fresh = self._fresh
+            self._fresh = False
+            return self._value, fresh
+
+
+class RenderEngine:
+    """Owns the render thread and the rebuild pool."""
+
+    def __init__(self, config: Optional[RenderConfig] = None,
+                 renderer: Optional[Renderer] = None):
+        self.cfg = config or RenderConfig()
+        self.renderer = renderer or Renderer(self.cfg)
+        self._camera_box = _Mailbox()
+        self._scene_box = _Mailbox()
+        self._frame_box = _Mailbox()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._rebuild_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="SRT")
+        self._build_in_flight = threading.Event()
+        self._frame_number = 0
+        self.on_scene_swapped: Optional[Callable[[], None]] = None
+
+    # --- submission API (UI thread side) -----------------------------------
+
+    def submit_camera_update(self, uniforms) -> None:
+        self._camera_box.put(uniforms)
+
+    def submit_scene(self, device_scene) -> None:
+        """Swap in an already-built device scene."""
+        self._scene_box.put(device_scene)
+
+    def rebuild_scene_async(self, scene: Scene,
+                            on_done: Optional[Callable] = None):
+        """Snapshot + background build + swap (the SRT path,
+        VulkanApp.rebuildSceneAsync, :242-304). Returns the future."""
+        if self._build_in_flight.is_set():
+            _log_srt.info("rebuild already in flight; skipping")
+            return None
+        self._build_in_flight.set()
+        snapshot = scene.create_snapshot()
+
+        def work():
+            t0 = time.perf_counter()
+            try:
+                if self.cfg.kernel == "packet":
+                    built = build_fast_scene(snapshot)
+                else:
+                    built = build_gpu_scene(snapshot)
+                self._scene_box.put(built)
+                _log_srt.info("rebuild done in %.1f ms",
+                              (time.perf_counter() - t0) * 1e3)
+                return built
+            except Exception:
+                _log_srt.exception("scene rebuild failed; keeping old scene")
+                raise
+            finally:
+                self._build_in_flight.clear()
+                if on_done is not None:
+                    on_done()
+
+        return self._rebuild_pool.submit(work)
+
+    @property
+    def build_in_progress(self) -> bool:
+        """UI pauses accumulation while true (VulkanApp.java:199-208)."""
+        return self._build_in_flight.is_set()
+
+    # --- frame consumption (UI thread side) ---------------------------------
+
+    def latest_frame(self) -> Optional[FrameData]:
+        frame, fresh = self._frame_box.take()
+        return frame if fresh else None
+
+    # --- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._main_loop, name="VRT",
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout)
+            if self._thread.is_alive():
+                _log_vrt.warning("render thread did not stop in %.1fs",
+                                 timeout)
+        self._rebuild_pool.shutdown(wait=False)
+
+    # --- the render loop (VRT) ----------------------------------------------
+
+    def _main_loop(self) -> None:
+        _log_vrt.info("render thread started")
+        scene = None
+        cam = None
+        accum = None
+        try:
+            while self._running:
+                new_scene, scene_fresh = self._scene_box.take()
+                if scene_fresh:
+                    scene = new_scene
+                    accum = None  # scene swap resets accumulation buffer
+                    if self.on_scene_swapped is not None:
+                        self.on_scene_swapped()
+                new_cam, cam_fresh = self._camera_box.take()
+                if cam_fresh:
+                    cam = new_cam
+
+                if scene is None or cam is None:
+                    time.sleep(0.016)  # idle until scene+camera arrive
+                    continue
+
+                try:
+                    t0 = time.perf_counter()
+                    if accum is None:
+                        # frame_count == 0 overwrites the buffer anyway
+                        # (accum*0 + sample), so no reset on camera events.
+                        accum = self.renderer.new_accumulator()
+                    accum, image, stats = self.renderer.render(
+                        scene, cam, accum)
+                    pixels = np.asarray(image)
+                    dt = (time.perf_counter() - t0) * 1e3
+                    self._frame_number += 1
+                    self._frame_box.put(FrameData(
+                        pixels=pixels,
+                        frame_number=self._frame_number,
+                        samples=float(stats["samples"]),
+                        rays_traced=float(stats["rays_traced"]),
+                        render_ms=dt,
+                    ))
+                except Exception:
+                    _log_vrt.exception("render step failed; continuing")
+                    time.sleep(0.1)
+        finally:
+            _log_vrt.info("render thread exiting")

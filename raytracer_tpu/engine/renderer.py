@@ -40,23 +40,55 @@ def tonemap(linear: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(gamma * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 
+def _num_bands(cfg: RenderConfig) -> int:
+    """Largest band count that divides the row-tiles and keeps bands at or
+    under cfg.band_rays rays."""
+    if not cfg.band_rays:
+        return 1
+    row_tiles = cfg.height // 8 if cfg.height % 8 == 0 else cfg.height
+    bands = 1
+    for nb in range(1, row_tiles + 1):
+        if row_tiles % nb:
+            continue
+        if (cfg.height // nb) * cfg.width <= cfg.band_rays:
+            bands = nb
+            break
+    else:
+        bands = row_tiles
+    return bands
+
+
 def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
                  cfg: RenderConfig):
     """scene + camera + accumulation -> (new accum, u8 frame, stats)."""
+    import dataclasses
+
     spp = cfg.samples_per_pixel
     if cfg.kernel == "packet":
         from raytracer_tpu.kernels.packet import render_linear_fast as rl
     else:
         rl = render_linear
 
-    def sample_body(i, carry):
-        total, rays = carry
-        color, stats = rl(scene, cam, cfg, sample_index=i)
-        return total + color, rays + stats["rays_traced"]
+    nb = _num_bands(cfg)
+    band_h = cfg.height // nb
+    band_cfg = dataclasses.replace(cfg, height=band_h)
 
-    init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
-            jnp.float32(0))
-    total, rays = jax.lax.fori_loop(0, spp, sample_body, init)
+    def render_band(_, y0):
+        def sample_body(i, carry):
+            total, rays = carry
+            color, stats = rl(scene, cam, band_cfg, sample_index=i,
+                              y_offset=y0, global_height=cfg.height)
+            return total + color, rays + stats["rays_traced"]
+
+        init = (jnp.zeros((band_h, cfg.width, 3), jnp.float32),
+                jnp.float32(0))
+        total, rays = jax.lax.fori_loop(0, spp, sample_body, init)
+        return None, (total, rays)
+
+    y_offsets = jnp.arange(nb, dtype=jnp.int32) * band_h
+    _, (bands, band_rays) = jax.lax.scan(render_band, None, y_offsets)
+    total = bands.reshape(cfg.height, cfg.width, 3)
+    rays = jnp.sum(band_rays)
     linear = total / jnp.float32(spp)
 
     # Progressive running average keyed on frame_count — the accumulation

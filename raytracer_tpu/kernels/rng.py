@@ -45,15 +45,16 @@ def random_float(seed: jnp.ndarray, active: jnp.ndarray):
 
 
 def random_vec3(seed, active):
-    """Three sequential masked draws -> (seed, f32[..., 3])."""
+    """Three sequential masked draws -> (seed, (x, y, z)) as SoA components
+    (see kernels/vec.py for why vectors are not [..., 3] arrays)."""
     seed, x = random_float(seed, active)
     seed, y = random_float(seed, active)
     seed, z = random_float(seed, active)
-    return seed, jnp.stack([x, y, z], axis=-1)
+    return seed, (x, y, z)
 
 
 def random_vec3_in_unit_sphere(seed, active, max_iters: int | None = None):
-    """Masked rejection sampling of a point in the unit ball.
+    """Masked rejection sampling of a point in the unit ball -> SoA vec.
 
     Preserves the reference's stream structure: 3 draws for the discarded
     ``temp`` vector, then 3 draws per rejection round. ``max_iters`` bounds
@@ -63,25 +64,29 @@ def random_vec3_in_unit_sphere(seed, active, max_iters: int | None = None):
     # Discarded temp draw (compute_dynamic_ray.comp:64) — stream parity.
     seed, _ = random_vec3(seed, active)
 
-    zero = jnp.zeros(active.shape + (3,), jnp.float32)
+    zero = jnp.zeros(active.shape, jnp.float32)
 
     def cond(carry):
-        _, _, accepted, it = carry
+        _, _, _, _, accepted, it = carry
         pending = jnp.any(jnp.logical_and(active, ~accepted))
         if max_iters is None:
             return pending
         return jnp.logical_and(pending, it < max_iters)
 
     def body(carry):
-        s, p, accepted, it = carry
+        s, px, py, pz, accepted, it = carry
         need = jnp.logical_and(active, ~accepted)
-        s, v = random_vec3(s, need)
-        cand = v * 2.0 - 1.0
-        ok = jnp.sum(cand * cand, axis=-1) < 1.0
+        s, (vx, vy, vz) = random_vec3(s, need)
+        cx = vx * 2.0 - 1.0
+        cy = vy * 2.0 - 1.0
+        cz = vz * 2.0 - 1.0
+        ok = cx * cx + cy * cy + cz * cz < 1.0
         take = jnp.logical_and(need, ok)
-        p = jnp.where(take[..., None], cand, p)
-        return s, p, jnp.logical_or(accepted, take), it + 1
+        px = jnp.where(take, cx, px)
+        py = jnp.where(take, cy, py)
+        pz = jnp.where(take, cz, pz)
+        return s, px, py, pz, jnp.logical_or(accepted, take), it + 1
 
-    seed, p, _, _ = jax.lax.while_loop(
-        cond, body, (seed, zero, ~active, jnp.int32(0)))
-    return seed, p
+    seed, px, py, pz, _, _ = jax.lax.while_loop(
+        cond, body, (seed, zero, zero, zero, ~active, jnp.int32(0)))
+    return seed, (px, py, pz)

@@ -1,0 +1,122 @@
+"""ctypes bridge to the C++ native runtime (native/raytpu_native.cpp).
+
+Loads ``native/raytpu_native.so``, building it with ``make`` on first use
+if the toolchain is available. Every entry point has a pure-Python/NumPy
+fallback, so the framework works without a compiler; the native path just
+makes scene rebuilds (the interactive editing hot loop) fast.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from raytracer_tpu.utils.log import get_logger
+
+_log = get_logger("native")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "raytpu_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
+            except Exception as e:
+                _log.info("native build unavailable (%s); using NumPy "
+                          "fallbacks", e)
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError as e:
+            _log.warning("failed to load %s: %s", _SO_PATH, e)
+            return None
+
+        lib.rt_free.argtypes = [ctypes.c_void_p]
+        lib.rt_load_obj.restype = ctypes.c_int64
+        lib.rt_load_obj.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+        lib.rt_bvh_node_count.restype = ctypes.c_int64
+        lib.rt_bvh_node_count.argtypes = [ctypes.c_int64, ctypes.c_int32]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.rt_build_bvh.restype = ctypes.c_int64
+        lib.rt_build_bvh.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32,
+            f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
+        lib.rt_pack_clusters.restype = None
+        lib.rt_pack_clusters.argtypes = [
+            f32p, f32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, f32p, i32p]
+        _lib = lib
+        _log.info("native runtime loaded: %s", _SO_PATH)
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_obj(path: str):
+    """Native .obj parse -> f32[T,3,3], or None if unavailable/failed."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    t = lib.rt_load_obj(path.encode(), ctypes.byref(out))
+    if t < 0:
+        if t == -1:
+            raise FileNotFoundError(path)
+        raise ValueError(f"parse error in {path}")
+    try:
+        if t == 0:
+            return np.zeros((0, 3, 3), np.float32)
+        arr = np.ctypeslib.as_array(out, shape=(int(t), 3, 3)).copy()
+    finally:
+        lib.rt_free(out)
+    return arr
+
+
+def build_bvh(tris: np.ndarray, leaf_size: int = 1):
+    """Native BVH build matching bvh.build.HostBVH, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    from raytracer_tpu.bvh.build import HostBVH
+
+    tris = np.ascontiguousarray(tris, np.float32)
+    n = tris.shape[0]
+    m = int(lib.rt_bvh_node_count(n, leaf_size))
+    node_min = np.empty((m, 3), np.float32)
+    node_max = np.empty((m, 3), np.float32)
+    node_tri = np.empty(m, np.int32)
+    node_ntri = np.empty(m, np.int32)
+    node_skip = np.empty(m, np.int32)
+    node_data = np.empty(m, np.int32)
+    node_count = np.empty(m, np.int32)
+    order = np.empty(n, np.int64)
+    got = lib.rt_build_bvh(tris.reshape(-1), n, leaf_size,
+                           node_min.reshape(-1), node_max.reshape(-1),
+                           node_tri, node_ntri, node_skip, node_data,
+                           node_count, order)
+    if got != m:
+        raise RuntimeError(f"native BVH build failed ({got} != {m})")
+    return HostBVH(node_min, node_max, node_tri, node_ntri, node_skip,
+                   node_data, node_count, order)

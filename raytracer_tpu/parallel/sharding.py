@@ -1,0 +1,148 @@
+"""Multi-chip rendering: shard_map over a (dp, sp) device mesh.
+
+The reference is a single-GPU program; its only parallel axis is one
+thread per pixel (SURVEY.md §2 parallelism table). On TPU pods the natural
+scaling axes for a renderer are:
+
+* **dp** — data parallelism over the pixel grid: each chip renders a
+  horizontal band of the frame (embarrassingly parallel; rays never cross
+  shards because every chip holds the whole scene, the analogue of the
+  replicated SSBOs);
+* **sp** — sample parallelism: chips render the *same* band with different
+  sample indices and combine with a ``psum``-mean over the ICI — the only
+  cross-chip collective in the pipeline.
+
+Scene and camera are replicated; the accumulation buffer and output image
+are dp-sharded. The reduction rides ICI (psum over the mesh's sp axis);
+no host involvement until the final image fetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytracer_tpu.core.types import CameraUniforms, RenderConfig
+from raytracer_tpu.engine.renderer import tonemap
+from raytracer_tpu.utils.log import get_logger
+
+_log = get_logger("mesh")
+
+
+def make_mesh(n_devices: Optional[int] = None, sp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the first n devices."""
+    devices = list(devices or jax.devices())
+    n = n_devices or len(devices)
+    if n % sp:
+        raise ValueError(f"n_devices {n} not divisible by sp {sp}")
+    grid = np.asarray(devices[:n]).reshape(n // sp, sp)
+    return Mesh(grid, ("dp", "sp"))
+
+
+def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
+    """Compile a multi-chip render step.
+
+    Returns step(scene, cam, accum) -> (accum', u8 image, stats), where
+    accum / image are [H, W, 3] arrays dp-sharded over rows. The scene may
+    be a GpuScene or FastScene matching cfg.kernel.
+    """
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    if cfg.height % (n_dp * 8):
+        raise ValueError(
+            f"height {cfg.height} must be divisible by 8*dp ({8 * n_dp})")
+    shard_h = cfg.height // n_dp
+    local_cfg = dataclasses.replace(cfg, height=shard_h)
+    if cfg.samples_per_pixel % n_sp:
+        raise ValueError("samples_per_pixel must be divisible by sp")
+    spp_local = cfg.samples_per_pixel // n_sp
+
+    if cfg.kernel == "packet":
+        from raytracer_tpu.kernels.packet import render_linear_fast as rl
+    else:
+        from raytracer_tpu.kernels.tracer import render_linear as rl
+
+    def shard_fn(scene, cam: CameraUniforms, accum):
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        y0 = dp_idx * shard_h
+
+        def sample_body(i, carry):
+            total, rays = carry
+            color, stats = rl(scene, cam, local_cfg,
+                              sample_index=sp_idx * spp_local + i,
+                              y_offset=y0, global_height=cfg.height)
+            return total + color, rays + stats["rays_traced"]
+
+        init = (jnp.zeros((shard_h, cfg.width, 3), jnp.float32),
+                jnp.float32(0))
+        total, rays = jax.lax.fori_loop(0, spp_local, sample_body, init)
+
+        # The one collective: average sample shards over ICI.
+        linear = jax.lax.pmean(total / spp_local, "sp")
+        rays = jax.lax.psum(rays, "sp")
+        rays = jax.lax.psum(rays, "dp")
+
+        fc = cam.frame_count.astype(jnp.float32)
+        new_accum = (accum * fc + linear) / (fc + 1.0)
+        image = tonemap(new_accum, cam.exposure)
+        stats = {"rays_traced": rays,
+                 "samples": (fc + 1.0) * cfg.samples_per_pixel}
+        return new_accum, image, stats
+
+    replicated = P()
+    row_sharded = P("dp", None, None)
+    step = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(replicated, replicated, row_sharded),
+        out_specs=(row_sharded, row_sharded,
+                   {"rays_traced": replicated, "samples": replicated}),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place a scene pytree fully-replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(scene, sharding)
+
+
+def make_accumulator(cfg: RenderConfig, mesh: Mesh):
+    """dp-sharded zero accumulation buffer."""
+    sharding = NamedSharding(mesh, P("dp", None, None))
+    return jax.device_put(
+        jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), sharding)
+
+
+class MeshRenderer:
+    """Multi-chip analogue of engine.Renderer."""
+
+    def __init__(self, config: RenderConfig, mesh: Optional[Mesh] = None,
+                 sp: int = 1):
+        self.cfg = config
+        self.mesh = mesh or make_mesh(sp=sp)
+        self._step = make_sharded_render_step(config, self.mesh)
+        _log.info("mesh renderer: %s", dict(self.mesh.shape))
+
+    def prepare_scene(self, scene):
+        return replicate_scene(scene, self.mesh)
+
+    def new_accumulator(self):
+        return make_accumulator(self.cfg, self.mesh)
+
+    def render(self, scene, cam: CameraUniforms, accum=None):
+        if accum is None:
+            accum = self.new_accumulator()
+        return self._step(scene, cam, accum)

@@ -18,6 +18,7 @@ Differences from the reference:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Sequence
 
@@ -216,18 +217,36 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
 
         # Pack clusters: [L, 8 tris x 16 floats]. Padding triangles are
         # degenerate (zeros -> det == 0 -> never hit).
-        ordered_v = verts[bvh.order]          # [n, 3, 3]
-        ordered_m = mats[bvh.order]           # [n, 4]
         clusters = np.zeros((lcap, CLUSTER_ROW), np.float32)
-        leaf_nodes = np.nonzero(leaf_mask)[0]
-        for li, node in enumerate(leaf_nodes):
-            start = int(bvh.node_tri[node])
-            count = int(bvh.node_ntri[node])
-            row = clusters[li].reshape(CLUSTER_SIZE, TRI_STRIDE)
-            row[:count, 0:9] = ordered_v[start:start + count].reshape(
-                count, 9)
-            row[:count, 9:12] = ordered_m[start:start + count, 0:3]
-            row[:count, 12] = ordered_m[start:start + count, 3]
+        packed = False
+        if os.environ.get("RAYTPU_NATIVE", "1") != "0":
+            try:
+                from raytracer_tpu import native_bridge
+
+                if native_bridge.available():
+                    lib = native_bridge._load()
+                    lids_scratch = np.empty(m, np.int32)
+                    lib.rt_pack_clusters(
+                        np.ascontiguousarray(verts).reshape(-1),
+                        np.ascontiguousarray(mats).reshape(-1),
+                        n, bvh.order, bvh.node_tri, bvh.node_ntri, m,
+                        CLUSTER_SIZE, TRI_STRIDE, clusters.reshape(-1),
+                        lids_scratch)
+                    packed = True
+            except Exception:
+                _log.exception("native cluster packing failed; using NumPy")
+        if not packed:
+            ordered_v = verts[bvh.order]          # [n, 3, 3]
+            ordered_m = mats[bvh.order]           # [n, 4]
+            leaf_nodes = np.nonzero(leaf_mask)[0]
+            for li, node in enumerate(leaf_nodes):
+                start = int(bvh.node_tri[node])
+                count = int(bvh.node_ntri[node])
+                row = clusters[li].reshape(CLUSTER_SIZE, TRI_STRIDE)
+                row[:count, 0:9] = ordered_v[start:start + count].reshape(
+                    count, 9)
+                row[:count, 9:12] = ordered_m[start:start + count, 0:3]
+                row[:count, 12] = ordered_m[start:start + count, 3]
         num_nodes = m
 
     put = (lambda x: jax.device_put(jnp.asarray(x), device)) if device \

@@ -11,11 +11,32 @@ kernel, so normals/uvs are parsed but discarded.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
 def load_obj(path: str) -> np.ndarray:
-    """Parse a .obj file -> f32[T, 3, 3] array of triangles (v0, v1, v2)."""
+    """Parse a .obj file -> f32[T, 3, 3] array of triangles (v0, v1, v2).
+
+    Uses the C++ native parser (native/raytpu_native.cpp) when built;
+    falls back to the pure-Python parser below. RAYTPU_NATIVE=0 disables."""
+    if os.environ.get("RAYTPU_NATIVE", "1") != "0":
+        try:
+            from raytracer_tpu import native_bridge
+
+            tris = native_bridge.load_obj(path)
+            if tris is not None:
+                return tris
+        except (FileNotFoundError, PermissionError):
+            raise
+        except Exception:
+            pass  # fall through to the Python parser
+    return load_obj_python(path)
+
+
+def load_obj_python(path: str) -> np.ndarray:
+    """Pure-Python reference parser."""
     verts: list[tuple[float, float, float]] = []
     tris: list[tuple[int, int, int]] = []
 

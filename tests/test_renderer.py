@@ -10,7 +10,7 @@ from raytracer_tpu.engine.renderer import Renderer, tonemap
 from raytracer_tpu.scene.builder import build_gpu_scene
 
 
-W, H = 16, 12
+W, H = 16, 16
 
 
 def _cam():
@@ -35,7 +35,8 @@ def test_tonemap_gamma_and_exposure():
 
 def test_accumulation_running_average(tiny_scene):
     """accum_n = mean of n samples; verified against manual averaging."""
-    cfg = RenderConfig(width=W, height=H, rng_mode="progressive")
+    cfg = RenderConfig(width=W, height=H, rng_mode="progressive",
+                       kernel="wavefront")
     r = Renderer(cfg)
     cam = _cam()
 
@@ -59,7 +60,7 @@ def test_accumulation_running_average(tiny_scene):
 
 
 def test_render_deterministic(tiny_scene):
-    cfg = RenderConfig(width=W, height=H)
+    cfg = RenderConfig(width=W, height=H, kernel="wavefront")
     r = Renderer(cfg)
     cam = _cam()
     _, img1, _ = r.render(tiny_scene, cam.uniforms())
@@ -71,7 +72,7 @@ def test_empty_scene_renders_sky():
     """0-triangle scene stays valid (reference dummy-buffer behaviour,
     VulkanEngine.java:362-364) and shades pure sky."""
     scene = build_gpu_scene([])  # no instances
-    cfg = RenderConfig(width=W, height=H)
+    cfg = RenderConfig(width=W, height=H, kernel="wavefront")
     r = Renderer(cfg)
     _, img, _ = r.render(scene, _cam().uniforms())
     img = np.asarray(img)
@@ -96,7 +97,7 @@ def test_failed_model_load_is_skipped(tmp_path):
 
 def test_scene_edit_reuses_bucket_no_recompile(tiny_scene):
     """Two scenes in the same capacity bucket hit the same executable."""
-    cfg = RenderConfig(width=W, height=H)
+    cfg = RenderConfig(width=W, height=H, kernel="wavefront")
     r = Renderer(cfg)
     cam = _cam()
     r.render(tiny_scene, cam.uniforms())
