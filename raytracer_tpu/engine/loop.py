@@ -80,9 +80,17 @@ class RenderEngine:
     """Owns the render thread and the rebuild pool."""
 
     def __init__(self, config: Optional[RenderConfig] = None,
-                 renderer: Optional[Renderer] = None):
+                 renderer: Optional[Renderer] = None,
+                 device_rebuild: bool = True):
         self.cfg = config or RenderConfig()
         self.renderer = renderer or Renderer(self.cfg)
+        # On-device LBVH rebuild (jitted transform+build; geometry stays in
+        # HBM) — packet kernel only; wavefront scenes use the host builder.
+        self._device_builder = None
+        if device_rebuild and self.cfg.kernel == "packet":
+            from raytracer_tpu.scene.device_builder import DeviceSceneBuilder
+
+            self._device_builder = DeviceSceneBuilder()
         self._camera_box = _Mailbox()
         self._scene_box = _Mailbox()
         self._frame_box = _Mailbox()
@@ -116,7 +124,9 @@ class RenderEngine:
         def work():
             t0 = time.perf_counter()
             try:
-                if self.cfg.kernel == "packet":
+                if self._device_builder is not None:
+                    built = self._device_builder.build(snapshot)
+                elif self.cfg.kernel == "packet":
                     built = build_fast_scene(snapshot)
                 else:
                     built = build_gpu_scene(snapshot)

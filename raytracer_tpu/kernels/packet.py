@@ -122,6 +122,7 @@ def packet_traverse(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3, active,
         rows = jnp.take(scene.nodes8, safe, axis=0)       # [NG, 8]
         skip = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
         leaf = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
+        left = -leaf - 1  # internal nodes: col7 = -(left_child + 1)
 
         # Per-ray slab test against the group's node.
         t_enter = jnp.float32(-jnp.inf)
@@ -145,7 +146,7 @@ def packet_traverse(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3, active,
             do_leaf[None, :] & active, state, cfg)
 
         descend = group_hit & ~is_leaf
-        node = jnp.where(in_flight, jnp.where(descend, node + 1, skip),
+        node = jnp.where(in_flight, jnp.where(descend, left, skip),
                          node)
         return node, closest_t, state
 
@@ -187,6 +188,7 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
         rows = jnp.take(scene.nodes8, safe, axis=0)        # [P, 8]
         skip = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
         leaf = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
+        left = -leaf - 1  # internal nodes: col7 = -(left_child + 1)
 
         t_enter = jnp.float32(-jnp.inf)
         t_exit = jnp.float32(jnp.inf)
@@ -207,7 +209,7 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
             crow, ray_o, ray_d, closest_t, do_leaf, state, cfg)
 
         descend = ray_hit & ~is_leaf
-        node = jnp.where(in_flight, jnp.where(descend, node + 1, skip),
+        node = jnp.where(in_flight, jnp.where(descend, left, skip),
                          node)
         return node, closest_t, state
 

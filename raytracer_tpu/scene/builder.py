@@ -195,13 +195,13 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
         num_leaves = int((bvh.node_tri >= 0).sum())
         lcap = _bucket(num_leaves)
 
-        # Leaf id = dense index in pre-order leaf order; node_tri is the
-        # first flattened-triangle index, which is leaf-ordered, so leaf id
-        # = node_tri // CLUSTER_SIZE only when every leaf is full. Assign
-        # explicitly instead.
+        # col7 encoding: leaves -> dense cluster id (>= 0); internal ->
+        # -(left_child + 1) (pre-order: left = node + 1).
         leaf_mask = bvh.node_tri >= 0
-        leaf_ids = np.full(m, -1, np.int32)
+        leaf_ids = np.empty(m, np.int32)
         leaf_ids[leaf_mask] = np.arange(num_leaves, dtype=np.int32)
+        internal = np.nonzero(~leaf_mask)[0]
+        leaf_ids[internal] = -(internal.astype(np.int32) + 1 + 1)
 
         nodes8 = np.zeros((mcap, 8), np.float32)
         nodes8[:, 0:3] = _BIG

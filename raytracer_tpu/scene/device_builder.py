@@ -1,0 +1,114 @@
+"""Live-edit scene pipeline: device-resident meshes + jitted LBVH rebuild.
+
+The reference re-runs its whole CPU pipeline per edit — Assimp reload,
+per-vertex transform, recursive BVH build, flatten, re-upload
+(``renderer/SceneBuilder.java:38-118``). Here each mesh is uploaded to HBM
+once; a scene edit ships only the per-instance parameters (position /
+scale / color / material — a few floats) and one jitted program applies
+the transforms, builds the LBVH (bvh/lbvh.py), and packs the cluster
+tables entirely on-device. Instance-set changes retrace; parameter edits
+reuse the compiled executable (shapes are stable, padded to capacity
+buckets like the host path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.bvh.lbvh import build_fast_scene_device
+from raytracer_tpu.core.fast_types import CLUSTER_SIZE
+from raytracer_tpu.scene.objloader import load_obj
+from raytracer_tpu.scene.scene import ModelInstance
+from raytracer_tpu.utils.log import get_logger
+
+_log = get_logger("srt")
+
+_MIN_CAPACITY = 64
+
+
+def _bucket(n: int) -> int:
+    c = _MIN_CAPACITY
+    while c < n:
+        c *= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _assemble_and_build(meshes, params, capacity: int):
+    """meshes: tuple of f32[Ti,3,3]; params: tuple of (scale3, pos3,
+    color3, mtype) arrays. Transforms + concat + pad + LBVH build."""
+    parts_v = []
+    parts_m = []
+    for mesh, (scale, pos, color, mtype) in zip(meshes, params):
+        v = mesh * scale + pos  # scale-then-translate per vertex
+        t_i = mesh.shape[0]
+        m = jnp.concatenate([
+            jnp.broadcast_to(color, (t_i, 3)),
+            jnp.broadcast_to(mtype, (t_i, 1)),
+        ], axis=1)
+        parts_v.append(v)
+        parts_m.append(m)
+    verts = jnp.concatenate(parts_v)
+    mats = jnp.concatenate(parts_m)
+    t = verts.shape[0]
+    pad = capacity - t
+    if pad:
+        verts = jnp.concatenate([verts, jnp.zeros((pad, 3, 3), jnp.float32)])
+        mats = jnp.concatenate([mats, jnp.zeros((pad, 4), jnp.float32)])
+    scene = build_fast_scene_device(verts, mats)
+    # Degenerate padding triangles never hit, but keep the true count.
+    import dataclasses
+
+    return dataclasses.replace(scene, num_triangles=jnp.int32(t))
+
+
+class DeviceSceneBuilder:
+    """Mesh cache + on-device rebuild entry point."""
+
+    def __init__(self):
+        self._mesh_cache: dict[str, jnp.ndarray] = {}
+
+    def _mesh(self, path: str):
+        mesh = self._mesh_cache.get(path)
+        if mesh is None:
+            mesh = jnp.asarray(load_obj(path))
+            self._mesh_cache[path] = mesh
+        return mesh
+
+    def build(self, instances: Sequence[ModelInstance]):
+        """Snapshot -> FastScene, geometry staying on-device.
+
+        Falls back to the host pipeline for empty scenes."""
+        meshes = []
+        params = []
+        total = 0
+        for inst in instances:
+            try:
+                mesh = self._mesh(inst.model_path)
+            except Exception as e:
+                _log.warning("failed to load %s: %s", inst.model_path, e)
+                continue
+            if mesh.shape[0] == 0:
+                continue
+            meshes.append(mesh)
+            params.append((
+                jnp.asarray(inst.scale, jnp.float32),
+                jnp.asarray(inst.position, jnp.float32),
+                jnp.asarray(inst.color, jnp.float32),
+                jnp.asarray(inst.material_type, jnp.float32),
+            ))
+            total += mesh.shape[0]
+
+        if not meshes:
+            from raytracer_tpu.scene.builder import build_fast_scene
+
+            return build_fast_scene([])
+
+        capacity = _bucket(
+            (total + CLUSTER_SIZE - 1) // CLUSTER_SIZE * CLUSTER_SIZE)
+        return _assemble_and_build(tuple(meshes), tuple(params), capacity)
