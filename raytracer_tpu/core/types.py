@@ -161,6 +161,9 @@ class RenderConfig:
     # lax.scan (bounded peak memory; band shapes stay in the
     # backend-validated zone). 0 disables banding.
     band_rays: int = 262144
+    # Fuse accumulate+exposure+gamma+u8 as a Pallas kernel (interpret mode
+    # off-TPU). Plain XLA ops otherwise.
+    pallas_tonemap: bool = False
 
     def __post_init__(self):
         if self.rng_mode not in ("reference", "progressive"):

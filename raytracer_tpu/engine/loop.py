@@ -181,10 +181,19 @@ class RenderEngine:
         scene = None
         cam = None
         accum = None
+        # Double-buffered dispatch: frame N is enqueued on the device
+        # before frame N-1's pixels are fetched, so host readback overlaps
+        # device compute — replacing the reference's submit + blocking
+        # fence-wait + copy per frame (VulkanEngine.java:410-426).
+        pending = None  # (image_device, stats, t_submit)
         try:
             while self._running:
                 new_scene, scene_fresh = self._scene_box.take()
                 if scene_fresh:
+                    # Flush the in-flight frame before swapping.
+                    if pending is not None:
+                        self._publish(*pending)
+                        pending = None
                     scene = new_scene
                     accum = None  # scene swap resets accumulation buffer
                     if self.on_scene_swapped is not None:
@@ -198,25 +207,33 @@ class RenderEngine:
                     continue
 
                 try:
-                    t0 = time.perf_counter()
                     if accum is None:
                         # frame_count == 0 overwrites the buffer anyway
                         # (accum*0 + sample), so no reset on camera events.
                         accum = self.renderer.new_accumulator()
+                    t0 = time.perf_counter()
                     accum, image, stats = self.renderer.render(
                         scene, cam, accum)
-                    pixels = np.asarray(image)
-                    dt = (time.perf_counter() - t0) * 1e3
-                    self._frame_number += 1
-                    self._frame_box.put(FrameData(
-                        pixels=pixels,
-                        frame_number=self._frame_number,
-                        samples=float(stats["samples"]),
-                        rays_traced=float(stats["rays_traced"]),
-                        render_ms=dt,
-                    ))
+                    if pending is not None:
+                        self._publish(*pending)
+                    pending = (image, stats, t0)
                 except Exception:
                     _log_vrt.exception("render step failed; continuing")
+                    pending = None
                     time.sleep(0.1)
+            if pending is not None:
+                self._publish(*pending)
         finally:
             _log_vrt.info("render thread exiting")
+
+    def _publish(self, image, stats, t_submit) -> None:
+        pixels = np.asarray(image)  # device -> host (sync point)
+        dt = (time.perf_counter() - t_submit) * 1e3
+        self._frame_number += 1
+        self._frame_box.put(FrameData(
+            pixels=pixels,
+            frame_number=self._frame_number,
+            samples=float(stats["samples"]),
+            rays_traced=float(stats["rays_traced"]),
+            render_ms=dt,
+        ))

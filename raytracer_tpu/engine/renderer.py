@@ -95,9 +95,14 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
     # the reference wired through the UBO but never implemented in the
     # shipped kernel (SURVEY.md discrepancy #1).
     fc = cam.frame_count.astype(jnp.float32)
-    new_accum = (accum * fc + linear) / (fc + 1.0)
+    if cfg.pallas_tonemap:
+        from raytracer_tpu.kernels.pallas_ops import tonemap_accumulate
 
-    image = tonemap(new_accum, cam.exposure)
+        new_accum, image = tonemap_accumulate(accum, linear, fc,
+                                              cam.exposure)
+    else:
+        new_accum = (accum * fc + linear) / (fc + 1.0)
+        image = tonemap(new_accum, cam.exposure)
     stats = {
         "rays_traced": rays,
         "samples": (fc + 1.0) * spp,

@@ -38,8 +38,11 @@ from raytracer_tpu.kernels.tracer import (TraversalResult, initial_seed,
 TILE_H = 8
 TILE_W = 8
 TILE = TILE_H * TILE_W          # primary-bounce group: one 8x8 pixel tile
-# Tree steps per while-loop iteration (amortizes fixed per-iteration cost).
-TRAVERSE_UNROLL = 4
+# Tree steps per while-loop iteration (amortizes fixed per-iteration cost;
+# larger values also multiply compile time of the unrolled MT graph).
+import os as _os
+
+TRAVERSE_UNROLL = int(_os.environ.get("RAYTPU_TRAVERSE_UNROLL", "2"))
 
 
 def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
