@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS, so this uses the config knob)")
+    p.add_argument("--checkpoint", metavar="FILE.npz",
+                   help="save the accumulation state here at the end; if "
+                        "the file exists, resume from it (render N more "
+                        "frames on top)")
     return p
 
 
@@ -116,10 +120,28 @@ def main(argv=None) -> int:
         cam = default_camera(args.width, args.height)
 
     renderer = Renderer(cfg)
+    # Checkpoint/resume: the accumulation buffer + frame counter persist
+    # across runs (the capability the reference lost with headless mode,
+    # DEVELOPMENT_LOG.md:51 — extended to progressive-render resume).
     accum = None
+    start_frame = 0
+    import os as _os
+
+    if args.checkpoint and _os.path.exists(args.checkpoint):
+        ckpt = np.load(args.checkpoint)
+        if tuple(ckpt["accum"].shape) == (args.height, args.width, 3):
+            import jax.numpy as jnp
+
+            accum = jnp.asarray(ckpt["accum"])
+            start_frame = int(ckpt["frame_count"])
+            _log.info("resumed %s at frame %d", args.checkpoint,
+                      start_frame)
+        else:
+            _log.warning("checkpoint resolution mismatch; starting fresh")
+
     t0 = time.perf_counter()
     stats = {}
-    for f in range(args.frames):
+    for f in range(start_frame, start_frame + args.frames):
         cam.frame_count = f
         accum, image, stats = renderer.render(
             device_scene,
@@ -131,6 +153,9 @@ def main(argv=None) -> int:
 
     write_png(args.output, pixels)
     _log.info("wrote %s", args.output)
+    if args.checkpoint:
+        np.savez(args.checkpoint, accum=np.asarray(accum),
+                 frame_count=start_frame + args.frames)
 
     if args.stats_json:
         print(json.dumps({

@@ -46,51 +46,88 @@ TRAVERSE_UNROLL = int(_os.environ.get("RAYTPU_TRAVERSE_UNROLL", "2"))
 
 
 def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
-    """Dense MT over one 128-float cluster row per group, unrolled over the
-    8 packed triangles with a sequential running min (GLSL first-wins).
+    """Dense MT of every ray against one 128-float cluster row per group.
 
-    crow: f32[NG, 128]; ray components broadcast against [NG]-shaped
-    triangle scalars. state = (nx, ny, nz, ar, ag, ab, mt) accumulators.
-    Returns (closest_t, state).
+    Access pattern matters enormously on this backend: reshape+trailing-dim
+    slices of the gathered row are ~84x faster than per-column extracts
+    (PERF_NOTES.md), so triangle data is handled AoS ([N, 8, 16]) while the
+    ray state stays SoA. Geometric normals and materials are per-triangle
+    (ray-independent) and computed once per cluster row, not per ray; the
+    closest-of-8 selection uses argmin + one-hot over the trailing 8-axis
+    (argmin takes the lowest index on ties = GLSL's sequential first-wins).
+
+    crow: f32[N, 128]; ray comps f32[..., N] (either [P] or [G, NG]);
+    state = (nx, ny, nz, ar, ag, ab, mt) accumulators shaped like rays.
     """
+    n = crow.shape[0]
+    tris = crow.reshape(n, CLUSTER_SIZE, TRI_STRIDE)
+    v0 = tris[..., 0:3]                        # [N, 8, 3]
+    e1 = tris[..., 3:6] - v0
+    e2 = tris[..., 6:9] - v0
+
+    # Per-triangle geometric normal (unnormalized) — ray-independent.
+    n_raw = jnp.cross(e1, e2)                  # [N, 8, 3]
+    n_len2 = jnp.sum(n_raw * n_raw, axis=-1)   # [N, 8]
+
+    packet = ray_o[0].ndim == 2  # [G, NG] vs [P]
+    if packet:
+        ro = jnp.stack(ray_o, axis=-1)[:, :, None, :]   # [G, NG, 1, 3]
+        rd = jnp.stack(ray_d, axis=-1)[:, :, None, :]
+        tri_b = lambda x: x[None]                       # [1, N, 8, ...]
+    else:
+        ro = jnp.stack(ray_o, axis=-1)[:, None, :]      # [P, 1, 3]
+        rd = jnp.stack(ray_d, axis=-1)[:, None, :]
+        tri_b = lambda x: x
+
+    pvec = jnp.cross(rd, tri_b(e2))
+    det = jnp.sum(tri_b(e1) * pvec, axis=-1)            # [..., 8]
+    ok = ~((det > -cfg.det_eps) & (det < cfg.det_eps))
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    s = ro - tri_b(v0)
+    u = inv_det * jnp.sum(s * pvec, axis=-1)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    qvec = jnp.cross(s, tri_b(e1))
+    v = inv_det * jnp.sum(rd * qvec, axis=-1)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = inv_det * jnp.sum(tri_b(e2) * qvec, axis=-1)
+    ok &= (t > cfg.t_min) & (t < closest_t[..., None]) & gate[..., None]
+
+    t_masked = jnp.where(ok, t, jnp.inf)
+    best = jnp.argmin(t_masked, axis=-1)                # [...]
+    best_t = jnp.take_along_axis(t_masked, best[..., None],
+                                 axis=-1)[..., 0]
+    upd = jnp.isfinite(best_t)
+
+    # Select the winning triangle's normal + material via one-hot over the
+    # 8-axis (ray-major selection from per-cluster data).
+    onehot = (jax.lax.broadcasted_iota(
+        jnp.int32, best.shape + (CLUSTER_SIZE,), best.ndim)
+        == best[..., None])                              # [..., 8]
+
+    def sel3(x):  # x: [N, 8, 3] -> [..., 3]
+        return jnp.sum(jnp.where(onehot[..., None], tri_b(x), 0.0),
+                       axis=-2)
+
+    def sel1(x):  # x: [N, 8] -> [...]
+        return jnp.sum(jnp.where(onehot, tri_b(x), 0.0), axis=-1)
+
+    n_sel = sel3(n_raw)
+    n_len = jnp.sqrt(sel1(n_len2))
+    n_unit = n_sel / jnp.where(upd, n_len, 1.0)[..., None]
+    flip = jnp.sum(jnp.squeeze(rd, -2) * n_unit, axis=-1) > 0.0
+    n_unit = jnp.where(flip[..., None], -n_unit, n_unit)
+    alb = sel3(tris[..., 9:12])
+    typ = sel1(tris[..., 12])
+
     nx, ny, nz, ar, ag, ab, mt = state
-    expand = (lambda a: a) if ray_o[0].ndim == 1 else (lambda a: a[None, :])
-
-    for k in range(CLUSTER_SIZE):
-        base = k * TRI_STRIDE
-        col = lambda j: expand(crow[:, base + j])
-        v0 = (col(0), col(1), col(2))
-        e1 = (col(3) - v0[0], col(4) - v0[1], col(5) - v0[2])
-        e2 = (col(6) - v0[0], col(7) - v0[1], col(8) - v0[2])
-
-        pvec = vec.cross(ray_d, e2)
-        det = vec.dot(e1, pvec)
-        ok = ~((det > -cfg.det_eps) & (det < cfg.det_eps))
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-        s = vec.sub(ray_o, v0)
-        u = inv_det * vec.dot(s, pvec)
-        ok &= (u >= 0.0) & (u <= 1.0)
-        qvec = vec.cross(s, e1)
-        v = inv_det * vec.dot(ray_d, qvec)
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-        t = inv_det * vec.dot(e2, qvec)
-        upd = ok & (t > cfg.t_min) & (t < closest_t) & gate
-
-        n_raw = vec.cross(e1, e2)
-        inv_len = 1.0 / jnp.where(upd, vec.length(n_raw), 1.0)
-        n_unit = vec.scale(n_raw, inv_len)
-        flip = vec.dot(ray_d, n_unit) > 0.0
-        n_unit = vec.where(flip, vec.scale(n_unit, -1.0), n_unit)
-
-        closest_t = jnp.where(upd, t, closest_t)
-        nx = jnp.where(upd, n_unit[0], nx)
-        ny = jnp.where(upd, n_unit[1], ny)
-        nz = jnp.where(upd, n_unit[2], nz)
-        ar = jnp.where(upd, col(9), ar)
-        ag = jnp.where(upd, col(10), ag)
-        ab = jnp.where(upd, col(11), ab)
-        mt = jnp.where(upd, col(12), mt)
-
+    closest_t = jnp.where(upd, best_t, closest_t)
+    nx = jnp.where(upd, n_unit[..., 0], nx)
+    ny = jnp.where(upd, n_unit[..., 1], ny)
+    nz = jnp.where(upd, n_unit[..., 2], nz)
+    ar = jnp.where(upd, alb[..., 0], ar)
+    ag = jnp.where(upd, alb[..., 1], ag)
+    ab = jnp.where(upd, alb[..., 2], ab)
+    mt = jnp.where(upd, typ, mt)
     return closest_t, (nx, ny, nz, ar, ag, ab, mt)
 
 
@@ -127,14 +164,16 @@ def packet_traverse(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3, active,
         leaf = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
         left = -leaf - 1  # internal nodes: col7 = -(left_child + 1)
 
-        # Per-ray slab test against the group's node.
-        t_enter = jnp.float32(-jnp.inf)
-        t_exit = jnp.float32(jnp.inf)
-        for ax in range(3):
-            t0 = (rows[:, ax][None, :] - ray_o[ax]) * inv_d[ax]
-            t1 = (rows[:, 3 + ax][None, :] - ray_o[ax]) * inv_d[ax]
-            t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
-            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        # Per-ray slab test against the group's node (AoS trailing-dim
+        # math; contiguous row slices — see _cluster_mt layout note).
+        bmin = rows[None, :, 0:3]                          # [1, NG, 3]
+        bmax = rows[None, :, 3:6]
+        ro3 = jnp.stack(ray_o, axis=-1)                    # [G, NG, 3]
+        inv3 = jnp.stack(inv_d, axis=-1)
+        t0s = (bmin - ro3) * inv3                          # [G, NG, 3]
+        t1s = (bmax - ro3) * inv3
+        t_enter = jnp.max(jnp.minimum(t0s, t1s), axis=-1)  # [G, NG]
+        t_exit = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
         ray_hit = ((t_exit > t_enter) & (t_exit > cfg.t_min)
                    & (t_enter < closest_t) & active)
         group_hit = jnp.any(ray_hit, axis=0) & in_flight   # [NG]
@@ -193,13 +232,12 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
         leaf = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
         left = -leaf - 1  # internal nodes: col7 = -(left_child + 1)
 
-        t_enter = jnp.float32(-jnp.inf)
-        t_exit = jnp.float32(jnp.inf)
-        for ax in range(3):
-            t0 = (rows[:, ax] - ray_o[ax]) * inv_d[ax]
-            t1 = (rows[:, 3 + ax] - ray_o[ax]) * inv_d[ax]
-            t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
-            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        ro3 = jnp.stack(ray_o, axis=-1)                    # [P, 3]
+        inv3 = jnp.stack(inv_d, axis=-1)
+        t0s = (rows[:, 0:3] - ro3) * inv3
+        t1s = (rows[:, 3:6] - ro3) * inv3
+        t_enter = jnp.max(jnp.minimum(t0s, t1s), axis=-1)
+        t_exit = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
         ray_hit = ((t_exit > t_enter) & (t_exit > cfg.t_min)
                    & (t_enter < closest_t) & in_flight & active)
 

@@ -1,0 +1,61 @@
+"""Headless CLI: render, stats, checkpoint/resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.apps.headless import build_parser, main
+from raytracer_tpu.utils import assets
+from raytracer_tpu.utils.png import read_png
+
+
+@pytest.fixture()
+def scene_json(tmp_path):
+    obj = str(tmp_path / "cube.obj")
+    assets.write_obj(obj, assets.make_cube() * 6.0)
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps([{
+        "model_path": obj, "display_name": "Cube",
+        "position": [0, 0, 0], "scale": [1, 1, 1],
+        "color": [1.0, 0.3, 0.2], "material_type": 0.0}]))
+    return str(scene)
+
+
+def test_headless_renders_png(tmp_path, scene_json, capsys):
+    out = str(tmp_path / "out.png")
+    rc = main(["--scene", scene_json, "-o", out, "--width", "32",
+               "--height", "24", "--frames", "2", "--max-bounces", "2",
+               "--camera", "0,2,25", "--vfov", "40", "--stats-json"])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (24, 32, 3)
+    assert img.max() > 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["triangles"] == 12
+    assert stats["samples"] == 2.0
+
+
+def test_headless_checkpoint_resume(tmp_path, scene_json):
+    out = str(tmp_path / "out.png")
+    ckpt = str(tmp_path / "state.npz")
+    args = ["--scene", scene_json, "-o", out, "--width", "32",
+            "--height", "24", "--max-bounces", "2", "--camera", "0,2,25",
+            "--vfov", "40", "--checkpoint", ckpt]
+    main(args + ["--frames", "2"])
+    assert int(np.load(ckpt)["frame_count"]) == 2
+    main(args + ["--frames", "3"])
+    assert int(np.load(ckpt)["frame_count"]) == 5
+
+    # 2+3 resumed frames == 5 straight frames (same seeds per frame idx).
+    out2 = str(tmp_path / "straight.png")
+    main(["--scene", scene_json, "-o", out2, "--width", "32",
+          "--height", "24", "--max-bounces", "2", "--camera", "0,2,25",
+          "--vfov", "40", "--frames", "5"])
+    np.testing.assert_array_equal(read_png(out), read_png(out2))
+
+
+def test_parser_rejects_missing_scene():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args([])
