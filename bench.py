@@ -20,10 +20,7 @@ import numpy as np
 
 
 def main():
-    # NOTE: 640x360 default until the 1280x720 worker crash on the axon
-    # backend is resolved (see CLAUDE.md / PERF_NOTES.md); override with
-    # RAYTPU_BENCH_RES=1280x720.
-    res = os.environ.get("RAYTPU_BENCH_RES", "640x360")
+    res = os.environ.get("RAYTPU_BENCH_RES", "1280x720")
     width, height = (int(x) for x in res.split("x"))
     n_frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "4"))
     bounces = int(os.environ.get("RAYTPU_BENCH_BOUNCES", "10"))

@@ -160,7 +160,7 @@ class RenderConfig:
     # Frames render as horizontal bands of at most ~this many rays via one
     # lax.scan (bounded peak memory; band shapes stay in the
     # backend-validated zone). 0 disables banding.
-    band_rays: int = 262144
+    band_rays: int = 65536
     # Fuse accumulate+exposure+gamma+u8 as a Pallas kernel (interpret mode
     # off-TPU). Plain XLA ops otherwise.
     pallas_tonemap: bool = False
