@@ -269,20 +269,26 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
 def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                        alive, sky_on, cfg: RenderConfig,
                        start_bounce: int = 1):
-    """Bounces as ONE fused loop: every ray advances through traversal and
-    shading at its own pace.
+    """Bounces as ONE fused loop with live-ray width compaction.
 
-    The round-based structure (traverse-all, shade-all, repeat) pays
-    ``rounds x max_iterations`` — every round runs as long as its slowest
-    ray, and scenes where Lambertian paths survive to the bounce cap pay
-    ~10 full rounds (measured: 97% of frame time). Here a ray that exits
-    traversal is shaded *in the same loop iteration* (masked, cheap
-    elementwise + RNG) and respawns into its next bounce immediately, so
-    the loop runs ~max-over-rays(total visits) instead of
-    sum-over-bounces(max visits) — a ~3-4x structural cut.
+    Structure (each piece measured — PERF_NOTES.md):
+    * megakernel: a ray that exits traversal is shaded (masked elementwise
+      + RNG) and respawns into its next bounce in the same loop iteration,
+      so the loop runs ~max-over-rays(total visits) instead of the
+      round-based sum-over-bounces(max visits) (~3-4x);
+    * compaction: average live occupancy over the loop is only ~4% (rays
+      die to sky/absorption while a tail bounces on), so when the live
+      count fits in a quarter width, live rays are cumsum-compacted into
+      the prefix and the loop continues at width/4 (levels p, p/4, p/16,
+      ...). Finished rays deposit their color by pixel id at each level
+      boundary. Per-ray RNG streams are carried state, so reordering
+      changes nothing.
 
     State encoding via the node pointer: < num_nodes -> traversing;
     == num_nodes -> traversal finished, shade pending; > num_nodes -> done.
+    Returns (color_x, color_y, color_z, seed_full, rays_traced); colors are
+    in the ORIGINAL ray order; seed is only meaningful where rays never
+    entered (callers that need post-bounce seeds must not compact).
     """
     p = ray_o[0].shape[0]
     num_nodes = scene.num_nodes
@@ -294,13 +300,85 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     hitstate = (zero, zero, zero, zero, zero, zero, zero)
     bounce = jnp.full((p,), start_bounce, jnp.int32)
     rays_traced = jnp.sum(alive.astype(jnp.float32))
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
+
+    # Width levels: p, p/4, p/16, ... (floor 8192 — below that the loop is
+    # cheap anyway; env-tunable for tests).
+    floor = int(_os.environ.get("RAYTPU_COMPACT_FLOOR", "8192"))
+    levels = [p]
+    while levels[-1] // 4 >= min(floor, p):
+        levels.append(levels[-1] // 4)
+
+    out = (jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32),
+           jnp.zeros((p,), jnp.float32))
+
+    state = (node, closest_t, hitstate, ray_o, ray_d, color, atten, seed,
+             bounce, pix)
+    for li, width in enumerate(levels):
+        is_last = li == len(levels) - 1
+        next_width = None if is_last else levels[li + 1]
+        state, rays_traced = _mega_level(
+            scene, state, rays_traced, sky_on, cfg, done,
+            exit_width=next_width)
+        # Deposit finished rays' colors; compact live rays for the next
+        # level.
+        (node, closest_t, hitstate, ray_o, ray_d, color, atten, seed,
+         bounce, pix) = state
+        live = node <= num_nodes
+        deposit = ~live if not is_last else jnp.ones_like(live)
+        didx = jnp.where(deposit, pix, p)  # p = dropped
+        out = tuple(
+            o.at[didx].add(c, mode="drop")
+            for o, c in zip(out, color))
+        if is_last:
+            break
+        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        slots = jnp.where(live, pos, next_width)
+        order = jnp.zeros((next_width,), jnp.int32).at[slots].set(
+            jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0).reshape(width),
+            mode="drop")
+        # One packed gather applies the permutation to all float state.
+        fpack = jnp.stack(
+            list(ray_o) + list(ray_d) + list(color) + list(atten)
+            + [closest_t] + list(hitstate), axis=-1)        # [width, 20]
+        fpack = jnp.take(fpack, order, axis=0)
+        ipack = jnp.stack([node, jax.lax.bitcast_convert_type(
+            seed, jnp.int32), bounce, pix], axis=-1)
+        ipack = jnp.take(ipack, order, axis=0)
+        # A slot is only valid if its ray was live; kill the rest.
+        valid = jnp.take(live, order, axis=0)
+        node = jnp.where(valid, ipack[:, 0], done)
+        seed = jax.lax.bitcast_convert_type(ipack[:, 1], jnp.uint32)
+        bounce = ipack[:, 2]
+        pix = ipack[:, 3]
+        ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
+        ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
+        color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
+        atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
+        closest_t = fpack[:, 12]
+        hitstate = tuple(fpack[:, 13 + j] for j in range(7))
+        state = (node, closest_t, hitstate, ray_o, ray_d, color, atten,
+                 seed, bounce, pix)
+
+    return out[0], out[1], out[2], rays_traced
+
+
+def _mega_level(scene, state, rays_traced, sky_on, cfg, done,
+                exit_width):
+    """Run the fused traverse+shade loop at one width until every ray is
+    done, or (when exit_width is set) until live rays fit in exit_width."""
+    num_nodes = scene.num_nodes
 
     def cond(c):
-        return jnp.any(c[0] <= num_nodes)
+        state, rays, live_count = c
+        pending = jnp.any(state[0] <= num_nodes)
+        if exit_width is None:
+            return pending
+        return pending & (live_count > exit_width)
 
     def step(c):
-        (node, closest_t, hitstate, ray_o, ray_d, color, atten, seed,
-         bounce, rays) = c
+        ((node, closest_t, hitstate, ray_o, ray_d, color, atten, seed,
+          bounce, pix), rays, _) = c
 
         # --- traversal sub-step (rays with node < num_nodes) ---
         in_flight = node < num_nodes
@@ -347,20 +425,19 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         node = jnp.where(shading, jnp.where(respawn, 0, done), node)
         # Reset per-bounce hit state for respawned rays.
         closest_t = jnp.where(respawn, cfg.t_max, closest_t)
-        return (node, closest_t, hitstate, ray_o, ray_d, color, atten,
-                seed, bounce, rays)
+        live_count = jnp.sum((node <= num_nodes).astype(jnp.int32))
+        return ((node, closest_t, hitstate, ray_o, ray_d, color, atten,
+                 seed, bounce, pix), rays, live_count)
 
     def body(c):
         for _ in range(TRAVERSE_UNROLL):
             c = step(c)
         return c
 
-    carry = (node, closest_t, hitstate, ray_o, ray_d, color, atten, seed,
-             bounce, rays_traced)
-    carry = jax.lax.while_loop(cond, body, carry)
-    (node, closest_t, hitstate, ray_o, ray_d, color, atten, seed, bounce,
-     rays) = carry
-    return color, seed, rays
+    width = state[0].shape[0]
+    carry = (state, rays_traced, jnp.int32(width))
+    state, rays, _ = jax.lax.while_loop(cond, body, carry)
+    return state, rays
 
 
 def _tile_index(h, w):
@@ -433,9 +510,13 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
 
     # --- Bounces 1..max-1: fused megakernel (per-ray progression). ---
     if cfg.max_bounces > 1:
-        color, seed, rays = megakernel_bounces(
+        cx, cy, cz, rays = megakernel_bounces(
             scene, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg,
             start_bounce=1)
+        # Rays that never entered the loop keep their bounce-0 color.
+        color = (jnp.where(alive, cx, color[0]),
+                 jnp.where(alive, cy, color[1]),
+                 jnp.where(alive, cz, color[2]))
         rays = rays + jnp.float32(p)
     else:
         rays = jnp.float32(p)  # exhausted-at-cap rays stay black

@@ -84,3 +84,23 @@ def test_packet_empty_scene():
     cfg = RenderConfig(width=W, height=H, kernel="packet")
     img, _ = render_linear_fast(scene, _cam().uniforms(), cfg)
     assert np.asarray(img).mean() > 0.4  # sky
+
+
+def test_compaction_levels_match_uncompacted(monkeypatch):
+    """Force tiny compaction levels so the level transitions (cumsum
+    compaction + color deposit + width switch) are exercised, and verify
+    the image is identical to the single-level run."""
+    import importlib
+
+    from raytracer_tpu.kernels import packet as pk
+
+    _, fast_scene = _scenes(0.0, 1.0)
+    cfg = RenderConfig(width=W, height=H, rng_mode="reference")
+    uni = _cam().uniforms()
+
+    monkeypatch.setenv("RAYTPU_COMPACT_FLOOR", str(10**9))  # no compaction
+    a, sa = pk.render_linear_fast(fast_scene, uni, cfg)
+    monkeypatch.setenv("RAYTPU_COMPACT_FLOOR", "16")        # many levels
+    b, sb = pk.render_linear_fast(fast_scene, uni, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["rays_traced"]) == float(sb["rays_traced"])
