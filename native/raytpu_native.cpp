@@ -145,6 +145,10 @@ int64_t rt_bvh_node_count(int64_t n, int32_t leaf_size) {
 // tris: [n, 3, 3] f32. Outputs preallocated by caller:
 //   node_min/node_max: [m, 3] f32; node_tri/node_ntri/node_skip/node_data/
 //   node_count: [m] i32; order: [n] i64 (flattened position -> source tri).
+// method: 0 = median split (matches the NumPy reference builder exactly),
+//         1 = binned SAH (16 bins; higher-quality tree, same layout —
+//             note the node count is data-dependent, returned by
+//             rt_build_bvh_sah_count).
 // Returns node count m, or -1 on error.
 // ---------------------------------------------------------------------------
 int64_t rt_build_bvh(const float* tris, int64_t n, int32_t leaf_size,
@@ -246,6 +250,235 @@ int64_t rt_build_bvh(const float* tris, int64_t n, int32_t leaf_size,
   }
 
   return (next_node == m && next_tri == n) ? m : -1;
+}
+
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH build + pre-order flatten with skip links.
+//
+// Same outputs/layout as rt_build_bvh, but splits minimize the surface
+// area heuristic over 16 centroid bins instead of the median — fewer node
+// visits per ray (the reference's random-axis median split is the quality
+// floor; this is the production-quality tree). Node count is
+// data-dependent: caller allocates for the worst case (2*n-1) and the
+// actual count is returned.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct BuildNode {
+  float bmin[3], bmax[3];
+  int64_t left = -1, right = -1;  // build-node ids; -1 for leaf
+  int64_t first = 0, count = 0;   // leaf range into idx[]
+};
+
+inline float half_area(const float* bmin, const float* bmax) {
+  float dx = std::max(0.0f, bmax[0] - bmin[0]);
+  float dy = std::max(0.0f, bmax[1] - bmin[1]);
+  float dz = std::max(0.0f, bmax[2] - bmin[2]);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+}  // namespace
+
+int64_t rt_build_bvh_sah(const float* tris, int64_t n, int32_t leaf_size,
+                         float* node_min, float* node_max,
+                         int32_t* node_tri, int32_t* node_ntri,
+                         int32_t* node_skip, int32_t* node_data,
+                         int32_t* node_count, int64_t* order) {
+  if (n <= 0 || leaf_size < 1) return -1;
+  constexpr int kBins = 16;
+
+  std::vector<float> lo(n * 3), hi(n * 3), center(n * 3);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      float a = tris[i * 9 + 0 + ax];
+      float b = tris[i * 9 + 3 + ax];
+      float c = tris[i * 9 + 6 + ax];
+      float mn = std::min(a, std::min(b, c));
+      float mx = std::max(a, std::max(b, c));
+      if (mx - mn < kAabbEps) {
+        mn -= kAabbEps;
+        mx += kAabbEps;
+      }
+      lo[i * 3 + ax] = mn;
+      hi[i * 3 + ax] = mx;
+      center[i * 3 + ax] = 0.5f * (mn + mx);
+    }
+  }
+
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+
+  std::vector<BuildNode> nodes;
+  nodes.reserve(2 * n);
+
+  struct Item {
+    int64_t start, end, slot;
+  };
+  std::vector<Item> stack;
+  nodes.emplace_back();
+  stack.push_back({0, n, 0});
+
+  while (!stack.empty()) {
+    Item seg = stack.back();
+    stack.pop_back();
+    BuildNode& nd = nodes[seg.slot];
+    const int64_t k = seg.end - seg.start;
+
+    float bmin[3] = {INFINITY, INFINITY, INFINITY};
+    float bmax[3] = {-INFINITY, -INFINITY, -INFINITY};
+    float cmin[3] = {INFINITY, INFINITY, INFINITY};
+    float cmax[3] = {-INFINITY, -INFINITY, -INFINITY};
+    for (int64_t i = seg.start; i < seg.end; ++i) {
+      const int64_t t = idx[i];
+      for (int ax = 0; ax < 3; ++ax) {
+        bmin[ax] = std::min(bmin[ax], lo[t * 3 + ax]);
+        bmax[ax] = std::max(bmax[ax], hi[t * 3 + ax]);
+        cmin[ax] = std::min(cmin[ax], center[t * 3 + ax]);
+        cmax[ax] = std::max(cmax[ax], center[t * 3 + ax]);
+      }
+    }
+    std::memcpy(nd.bmin, bmin, sizeof bmin);
+    std::memcpy(nd.bmax, bmax, sizeof bmax);
+
+    if (k <= leaf_size) {
+      nd.first = seg.start;
+      nd.count = k;
+      continue;
+    }
+
+    // Binned SAH over each axis.
+    float best_cost = INFINITY;
+    int best_axis = -1, best_bin = -1;
+    for (int ax = 0; ax < 3; ++ax) {
+      const float ext = cmax[ax] - cmin[ax];
+      if (ext <= 0.0f) continue;
+      const float inv = kBins / ext;
+      int64_t cnt[kBins] = {};
+      float blo[kBins][3], bhi[kBins][3];
+      for (int b = 0; b < kBins; ++b)
+        for (int a2 = 0; a2 < 3; ++a2) {
+          blo[b][a2] = INFINITY;
+          bhi[b][a2] = -INFINITY;
+        }
+      for (int64_t i = seg.start; i < seg.end; ++i) {
+        const int64_t t = idx[i];
+        int b = static_cast<int>((center[t * 3 + ax] - cmin[ax]) * inv);
+        b = std::min(b, kBins - 1);
+        ++cnt[b];
+        for (int a2 = 0; a2 < 3; ++a2) {
+          blo[b][a2] = std::min(blo[b][a2], lo[t * 3 + a2]);
+          bhi[b][a2] = std::max(bhi[b][a2], hi[t * 3 + a2]);
+        }
+      }
+      // Sweep: suffix areas then prefix.
+      float rarea[kBins];
+      float acc_lo[3] = {INFINITY, INFINITY, INFINITY};
+      float acc_hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+      int64_t rcnt[kBins];
+      int64_t acc_n = 0;
+      for (int b = kBins - 1; b >= 1; --b) {
+        for (int a2 = 0; a2 < 3; ++a2) {
+          acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+          acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+        }
+        acc_n += cnt[b];
+        rarea[b] = half_area(acc_lo, acc_hi);
+        rcnt[b] = acc_n;
+      }
+      for (int a2 = 0; a2 < 3; ++a2) {
+        acc_lo[a2] = INFINITY;
+        acc_hi[a2] = -INFINITY;
+      }
+      acc_n = 0;
+      for (int b = 0; b < kBins - 1; ++b) {
+        for (int a2 = 0; a2 < 3; ++a2) {
+          acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+          acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+        }
+        acc_n += cnt[b];
+        if (acc_n == 0 || acc_n == k) continue;
+        const float cost = acc_n * half_area(acc_lo, acc_hi)
+            + rcnt[b + 1] * rarea[b + 1];
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = ax;
+          best_bin = b;
+        }
+      }
+    }
+
+    int64_t mid;
+    if (best_axis >= 0) {
+      const float inv = kBins / (cmax[best_axis] - cmin[best_axis]);
+      const float cmin_ax = cmin[best_axis];
+      int64_t* base = idx.data();
+      int64_t* split = std::partition(
+          base + seg.start, base + seg.end, [&](int64_t t) {
+            int b = static_cast<int>(
+                (center[t * 3 + best_axis] - cmin_ax) * inv);
+            return std::min(b, kBins - 1) <= best_bin;
+          });
+      mid = split - base;
+      if (mid == seg.start || mid == seg.end) mid = seg.start + k / 2;
+    } else {
+      // All centroids coincide: median fallback.
+      mid = seg.start + k / 2;
+    }
+
+    const int64_t li = static_cast<int64_t>(nodes.size());
+    nodes.emplace_back();
+    const int64_t ri = static_cast<int64_t>(nodes.size());
+    nodes.emplace_back();
+    nodes[seg.slot].left = li;
+    nodes[seg.slot].right = ri;
+    stack.push_back({mid, seg.end, ri});
+    stack.push_back({seg.start, mid, li});
+  }
+
+  // Subtree sizes (iterative post-order via reverse build order: children
+  // always have larger build ids than their parent).
+  const int64_t bn = static_cast<int64_t>(nodes.size());
+  std::vector<int64_t> size(bn, 1);
+  for (int64_t i = bn - 1; i >= 0; --i)
+    if (nodes[i].left >= 0)
+      size[i] = 1 + size[nodes[i].left] + size[nodes[i].right];
+
+  // Pre-order flatten with skip links.
+  struct FItem {
+    int64_t bnode, skip;
+  };
+  std::vector<FItem> fstack;
+  fstack.push_back({0, size[0]});
+  int64_t next_node = 0, next_tri = 0;
+  while (!fstack.empty()) {
+    FItem f = fstack.back();
+    fstack.pop_back();
+    const BuildNode& nd = nodes[f.bnode];
+    const int64_t my = next_node++;
+    for (int ax = 0; ax < 3; ++ax) {
+      node_min[my * 3 + ax] = nd.bmin[ax];
+      node_max[my * 3 + ax] = nd.bmax[ax];
+    }
+    node_skip[my] = static_cast<int32_t>(f.skip);
+    if (nd.left < 0) {
+      node_tri[my] = static_cast<int32_t>(next_tri);
+      node_ntri[my] = static_cast<int32_t>(nd.count);
+      node_data[my] = -static_cast<int32_t>(next_tri + 1);
+      node_count[my] = -1;
+      for (int64_t i = 0; i < nd.count; ++i)
+        order[next_tri + i] = idx[nd.first + i];
+      next_tri += nd.count;
+    } else {
+      const int64_t right_index = my + 1 + size[nd.left];
+      node_tri[my] = -1;
+      node_ntri[my] = 0;
+      node_data[my] = static_cast<int32_t>(my + 1);
+      node_count[my] = static_cast<int32_t>(right_index);
+      fstack.push_back({nd.right, f.skip});
+      fstack.push_back({nd.left, right_index});
+    }
+  }
+  return (next_tri == n) ? next_node : -1;
 }
 
 // ---------------------------------------------------------------------------

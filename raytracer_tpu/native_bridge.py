@@ -61,6 +61,8 @@ def _load():
         lib.rt_build_bvh.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
+        lib.rt_build_bvh_sah.restype = ctypes.c_int64
+        lib.rt_build_bvh_sah.argtypes = lib.rt_build_bvh.argtypes
         lib.rt_pack_clusters.restype = None
         lib.rt_pack_clusters.argtypes = [
             f32p, f32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
@@ -94,8 +96,12 @@ def load_obj(path: str):
     return arr
 
 
-def build_bvh(tris: np.ndarray, leaf_size: int = 1):
-    """Native BVH build matching bvh.build.HostBVH, or None."""
+def build_bvh(tris: np.ndarray, leaf_size: int = 1,
+              method: str = "median"):
+    """Native BVH build -> bvh.build.HostBVH, or None if unavailable.
+
+    method "median" reproduces the NumPy reference builder exactly;
+    "sah" builds a binned-SAH tree (same layout, fewer ray visits)."""
     lib = _load()
     if lib is None:
         return None
@@ -103,20 +109,27 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1):
 
     tris = np.ascontiguousarray(tris, np.float32)
     n = tris.shape[0]
-    m = int(lib.rt_bvh_node_count(n, leaf_size))
-    node_min = np.empty((m, 3), np.float32)
-    node_max = np.empty((m, 3), np.float32)
-    node_tri = np.empty(m, np.int32)
-    node_ntri = np.empty(m, np.int32)
-    node_skip = np.empty(m, np.int32)
-    node_data = np.empty(m, np.int32)
-    node_count = np.empty(m, np.int32)
+    if method == "sah":
+        m_cap = 2 * n - 1  # worst case; actual count returned
+        fn = lib.rt_build_bvh_sah
+    else:
+        m_cap = int(lib.rt_bvh_node_count(n, leaf_size))
+        fn = lib.rt_build_bvh
+    node_min = np.empty((m_cap, 3), np.float32)
+    node_max = np.empty((m_cap, 3), np.float32)
+    node_tri = np.empty(m_cap, np.int32)
+    node_ntri = np.empty(m_cap, np.int32)
+    node_skip = np.empty(m_cap, np.int32)
+    node_data = np.empty(m_cap, np.int32)
+    node_count = np.empty(m_cap, np.int32)
     order = np.empty(n, np.int64)
-    got = lib.rt_build_bvh(tris.reshape(-1), n, leaf_size,
-                           node_min.reshape(-1), node_max.reshape(-1),
-                           node_tri, node_ntri, node_skip, node_data,
-                           node_count, order)
-    if got != m:
-        raise RuntimeError(f"native BVH build failed ({got} != {m})")
-    return HostBVH(node_min, node_max, node_tri, node_ntri, node_skip,
-                   node_data, node_count, order)
+    m = int(fn(tris.reshape(-1), n, leaf_size,
+               node_min.reshape(-1), node_max.reshape(-1),
+               node_tri, node_ntri, node_skip, node_data, node_count,
+               order))
+    if m <= 0 or (method != "sah" and m != m_cap):
+        raise RuntimeError(f"native BVH build failed (m={m})")
+    return HostBVH(node_min[:m].copy(), node_max[:m].copy(),
+                   node_tri[:m].copy(), node_ntri[:m].copy(),
+                   node_skip[:m].copy(), node_data[:m].copy(),
+                   node_count[:m].copy(), order)

@@ -148,11 +148,12 @@ def config5_car_showcase(width=1920, height=1080) -> Preset:
             scale=(2.0, 2.0, 2.0), color=(0.6, 0.7, 0.1),
             material_type=1.0),
         ModelInstance(
-            model_path=_procedural_obj("terrain_bg.obj",
+            model_path=_procedural_obj("terrain_bg2.obj",
                                        assets.make_terrain(n=120,
-                                                           extent=120.0)),
-            display_name="Terrain", position=(0.0, -9.5, -40.0),
-            color=(0.45, 0.5, 0.4)),
+                                                           extent=120.0,
+                                                           height=2.0)),
+            display_name="Terrain", position=(0.0, -14.0, -120.0),
+            scale=(1.0, 0.6, 1.0), color=(0.45, 0.5, 0.4)),
         ModelInstance(
             model_path=_procedural_obj("icosphere2.obj",
                                        assets.make_icosphere(2, 3.0)),
@@ -160,8 +161,8 @@ def config5_car_showcase(width=1920, height=1080) -> Preset:
             scale=(4.0, 4.0, 4.0), color=(5.0, 4.8, 4.5),
             material_type=3.0),
     ])
-    cam = Camera(origin=(-30.0, 18.0, 120.0), look_at=(0.0, -2.0, 0.0),
-                 vfov_deg=24.0, aspect_ratio=width / height)
+    cam = Camera(origin=(-14.0, 4.0, 42.0), look_at=(0.0, -4.0, 0.0),
+                 vfov_deg=30.0, aspect_ratio=width / height)
     return Preset("car_showcase", scene, cam,
                   RenderConfig(width=width, height=height), exposure=0.5)
 
