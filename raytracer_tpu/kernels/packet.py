@@ -345,15 +345,19 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         ipack = jnp.stack([node, jax.lax.bitcast_convert_type(
             seed, jnp.int32), bounce, pix], axis=-1)
         ipack = jnp.take(ipack, order, axis=0)
-        # A slot is only valid if its ray was live; kill the rest.
+        # A slot is only valid if its ray was live. Unfilled slots default
+        # to gathering ray 0's state — kill them thoroughly: done node,
+        # dropped pixel id, zero color (otherwise later level boundaries
+        # re-deposit ray 0's color once per clone slot).
         valid = jnp.take(live, order, axis=0)
         node = jnp.where(valid, ipack[:, 0], done)
         seed = jax.lax.bitcast_convert_type(ipack[:, 1], jnp.uint32)
         bounce = ipack[:, 2]
-        pix = ipack[:, 3]
+        pix = jnp.where(valid, ipack[:, 3], p)  # p -> dropped on deposit
         ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
         ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-        color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
+        vz = lambda x: jnp.where(valid, x, 0.0)
+        color = (vz(fpack[:, 6]), vz(fpack[:, 7]), vz(fpack[:, 8]))
         atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
         closest_t = fpack[:, 12]
         hitstate = tuple(fpack[:, 13 + j] for j in range(7))

@@ -104,3 +104,33 @@ def test_compaction_levels_match_uncompacted(monkeypatch):
     b, sb = pk.render_linear_fast(fast_scene, uni, cfg)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(sa["rays_traced"]) == float(sb["rays_traced"])
+
+
+def test_compaction_clone_slots_do_not_deposit(monkeypatch):
+    """Regression: unfilled compaction slots default to ray 0's state and
+    must not re-deposit its color at later level boundaries."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.kernels.packet import megakernel_bounces
+    from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
+
+    monkeypatch.setenv("RAYTPU_COMPACT_FLOOR", "4")
+    cube = assets.make_cube() * 4.0
+    mats = np.zeros((12, 4), np.float32)
+    mats[:, 0:3] = 0.5
+    scene = build_fast_scene_from_arrays(cube, mats)
+    cfg = RenderConfig(width=16, height=16)
+
+    p = 64
+    zero = jnp.zeros((p,), jnp.float32)
+    one = jnp.ones((p,), jnp.float32)
+    # Ray 0: dead at entry carrying color 7 (a bounce-0 sky pixel).
+    alive = jnp.asarray(np.array([False] + [True] * 3 + [False] * 60))
+    color = (jnp.zeros(p).at[0].set(7.0), zero, zero)
+    ro = (zero, zero, jnp.full((p,), 20.0))
+    rd = (zero, zero, jnp.full((p,), -1.0))
+    cx, _, _, _ = megakernel_bounces(
+        scene, ro, rd, color, (one, one, one),
+        jnp.arange(p, dtype=jnp.uint32) * 7919, alive, True, cfg,
+        start_bounce=1)
+    assert float(cx[0]) == 7.0
