@@ -485,6 +485,18 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     alive = jnp.ones((p,), bool)
     sky_on = cam.sky_enabled > 0
 
+    if _os.environ.get("RAYTPU_B0", "mega") == "mega":
+        # Primaries through the compacting megakernel (measured ~1.3x
+        # faster than the tile-packet phase at 720p once compaction + SAH
+        # landed; RAYTPU_B0=packet restores the tile path for A/B).
+        cx, cy, cz, rays = megakernel_bounces(
+            scene, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg,
+            start_bounce=0)
+        stats = {"rays_traced": rays, "bounce_iters": jnp.int32(0)}
+        image = jnp.stack(
+            [c.reshape(h, w) for c in (cx, cy, cz)], axis=-1)
+        return image, stats
+
     # --- Bounce 0: packet traversal over pixel tiles. ---
     # [H, W] -> [TILE, NT]: lane dim = tile count (large), sublanes = the
     # 64 rays of a tile.
