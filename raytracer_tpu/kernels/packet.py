@@ -302,12 +302,13 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     rays_traced = jnp.sum(alive.astype(jnp.float32))
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
 
-    # Width levels: p, p/4, p/16, ... (floor measured: 512-2048 beats 8192
-    # by ~1.7x at 720p; env-tunable for tests).
+    # Width levels: p, p/r, p/r^2, ... (floor measured: 512-2048 beats
+    # 8192 by ~1.7x at 720p; ratio/floor env-tunable).
     floor = int(_os.environ.get("RAYTPU_COMPACT_FLOOR", "1024"))
+    ratio = int(_os.environ.get("RAYTPU_COMPACT_RATIO", "2"))
     levels = [p]
-    while levels[-1] // 4 >= min(floor, p):
-        levels.append(levels[-1] // 4)
+    while levels[-1] // ratio >= min(floor, p):
+        levels.append(levels[-1] // ratio)
 
     out = (jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32),
            jnp.zeros((p,), jnp.float32))
