@@ -103,6 +103,7 @@ int64_t rt_load_obj(const char* path, float** out_tris) {
   }
 
   int64_t t = static_cast<int64_t>(tri_idx.size() / 3);
+  if (t == 0) return 0;  // faceless .obj: malloc(0) may be NULL != IO error
   float* out = static_cast<float*>(std::malloc(sizeof(float) * t * 9));
   if (!out) return -1;
   int64_t nverts = static_cast<int64_t>(verts.size() / 3);

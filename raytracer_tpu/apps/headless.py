@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS, so this uses the config knob)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="render on an N-device (dp x sp) mesh via "
+                        "shard_map (0 = single device). Pair with "
+                        "--device cpu and XLA_FLAGS="
+                        "--xla_force_host_platform_device_count=N to "
+                        "validate sharding without hardware")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sample-parallel mesh axis (devices = dp * sp; "
+                        "--spp must be divisible by sp)")
     p.add_argument("--checkpoint", metavar="FILE.npz",
                    help="save the accumulation state here at the end; if "
                         "the file exists, resume from it (render N more "
@@ -85,6 +94,21 @@ def _parse_vec(s: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.frames < 1:
+        build_parser().error("--frames must be >= 1")
+    if args.devices and args.spp % args.sp:
+        build_parser().error("--spp must be divisible by --sp")
+    if args.devices:
+        # Multi-device meshes on the host platform need the virtual-device
+        # flag set before backend init.
+        import os as _o
+
+        flags = _o.environ.get("XLA_FLAGS", "")
+        if ("xla_force_host_platform_device_count" not in flags
+                and args.device == "cpu"):
+            _o.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.devices}").strip()
     apply_device_flag(args.device)
 
     if args.assets:
@@ -119,7 +143,14 @@ def main(argv=None) -> int:
     else:
         cam = default_camera(args.width, args.height)
 
-    renderer = Renderer(cfg)
+    if args.devices:
+        from raytracer_tpu.parallel.sharding import MeshRenderer, make_mesh
+
+        mesh = make_mesh(n_devices=args.devices, sp=args.sp)
+        renderer = MeshRenderer(cfg, mesh=mesh)
+        device_scene = renderer.prepare_scene(device_scene)
+    else:
+        renderer = Renderer(cfg)
     # Checkpoint/resume: the accumulation buffer + frame counter persist
     # across runs (the capability the reference lost with headless mode,
     # DEVELOPMENT_LOG.md:51 — extended to progressive-render resume).

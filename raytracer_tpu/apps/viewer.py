@@ -207,14 +207,17 @@ class ViewerApp:
                 "sky_enabled": self.sky_enabled,
                 "exposure": self.exposure,
                 "building": self.engine.build_in_progress,
+                # FPS/Mrays from the engine's rolling FrameCounter (1 Hz
+                # window like the reference title bar); per-stage wall
+                # times from its StageTimer.
                 "stats": None if frame is None else {
                     "frame": frame.frame_number,
                     "samples": frame.samples,
                     "render_ms": round(frame.render_ms, 1),
-                    "fps": round(1000.0 / max(frame.render_ms, 1e-3), 2),
-                    "mrays": round(
-                        frame.rays_traced / frame.render_ms / 1e3, 2),
+                    "fps": round(self.engine.meter.fps, 2),
+                    "mrays": round(self.engine.meter.mrays_per_s, 2),
                 },
+                "stages": self.engine.profiler.summary(),
                 "color_presets": COLOR_PRESETS,
                 "materials": {"Matte (Lambertian)": 0.0,
                               "Metal (Shiny)": 1.0,
@@ -371,6 +374,9 @@ def make_handler(app: ViewerApp):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; pass 0.0.0.0 to expose the unauthenticated "
+                        "edit API on the network (opt-in)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=1)
@@ -392,7 +398,7 @@ def main(argv=None) -> int:
     app = ViewerApp(cfg, scene)
     app.start()
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(app))
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(app))
     _log.info("viewer at http://localhost:%d", args.port)
     print(f"viewer at http://localhost:{args.port}")
     try:

@@ -157,6 +157,12 @@ class RenderConfig:
     # resolution divisible by 8). "wavefront": per-ray reference-faithful
     # path (kernels/tracer.py, needs a GpuScene).
     kernel: str = "packet"
+    # "path": the shipped multi-bounce path tracer (C14/C15 tier).
+    # "fixed_light": the C12 tier (shaders/compute.comp:196-204) — one
+    # unjittered primary ray, fixed light dir normalize(1,1,1), intensity
+    # max(0, n·l)*0.8 + 0.2, black background, raw (unflipped) geometric
+    # normals.
+    shading: str = "path"
     # Frames render as horizontal bands of at most ~this many rays via one
     # lax.scan (bounded peak memory; band shapes stay in the
     # backend-validated zone). 0 disables banding.
@@ -170,6 +176,8 @@ class RenderConfig:
             raise ValueError(f"bad rng_mode: {self.rng_mode}")
         if self.kernel not in ("packet", "wavefront"):
             raise ValueError(f"bad kernel: {self.kernel}")
+        if self.shading not in ("path", "fixed_light"):
+            raise ValueError(f"bad shading: {self.shading}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("resolution must be positive")
         if self.max_bounces < 1:

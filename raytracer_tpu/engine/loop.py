@@ -38,6 +38,7 @@ from raytracer_tpu.engine.renderer import Renderer
 from raytracer_tpu.scene.builder import build_fast_scene, build_gpu_scene
 from raytracer_tpu.scene.scene import Scene
 from raytracer_tpu.utils.log import get_logger
+from raytracer_tpu.utils.profiler import FrameCounter, StageTimer
 
 _log_vrt = get_logger("vrt")
 _log_srt = get_logger("srt")
@@ -91,6 +92,12 @@ class RenderEngine:
             from raytracer_tpu.scene.device_builder import DeviceSceneBuilder
 
             self._device_builder = DeviceSceneBuilder()
+        # Observability: per-stage wall times (build/dispatch/readback) and
+        # a rolling FPS / Mrays meter — FrameData carries per-frame numbers,
+        # these aggregate them (the reference's FPS title + build logs,
+        # VulkanApp.java:226-234, BVHBuilder.java:34-39).
+        self.profiler = StageTimer()
+        self.meter = FrameCounter()
         self._camera_box = _Mailbox()
         self._scene_box = _Mailbox()
         self._frame_box = _Mailbox()
@@ -124,12 +131,13 @@ class RenderEngine:
         def work():
             t0 = time.perf_counter()
             try:
-                if self._device_builder is not None:
-                    built = self._device_builder.build(snapshot)
-                elif self.cfg.kernel == "packet":
-                    built = build_fast_scene(snapshot)
-                else:
-                    built = build_gpu_scene(snapshot)
+                with self.profiler.stage("build"):
+                    if self._device_builder is not None:
+                        built = self._device_builder.build(snapshot)
+                    elif self.cfg.kernel == "packet":
+                        built = build_fast_scene(snapshot)
+                    else:
+                        built = build_gpu_scene(snapshot)
                 self._scene_box.put(built)
                 _log_srt.info("rebuild done in %.1f ms",
                               (time.perf_counter() - t0) * 1e3)
@@ -212,8 +220,9 @@ class RenderEngine:
                         # (accum*0 + sample), so no reset on camera events.
                         accum = self.renderer.new_accumulator()
                     t0 = time.perf_counter()
-                    accum, image, stats = self.renderer.render(
-                        scene, cam, accum)
+                    with self.profiler.stage("dispatch"):
+                        accum, image, stats = self.renderer.render(
+                            scene, cam, accum)
                     if pending is not None:
                         self._publish(*pending)
                     pending = (image, stats, t0)
@@ -227,13 +236,16 @@ class RenderEngine:
             _log_vrt.info("render thread exiting")
 
     def _publish(self, image, stats, t_submit) -> None:
-        pixels = np.asarray(image)  # device -> host (sync point)
+        with self.profiler.stage("readback"):
+            pixels = np.asarray(image)  # device -> host (sync point)
         dt = (time.perf_counter() - t_submit) * 1e3
         self._frame_number += 1
+        rays = float(stats["rays_traced"])
+        self.meter.tick(rays)
         self._frame_box.put(FrameData(
             pixels=pixels,
             frame_number=self._frame_number,
             samples=float(stats["samples"]),
-            rays_traced=float(stats["rays_traced"]),
+            rays_traced=rays,
             render_ms=dt,
         ))

@@ -114,8 +114,10 @@ def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
     n_sel = sel3(n_raw)
     n_len = jnp.sqrt(sel1(n_len2))
     n_unit = n_sel / jnp.where(upd, n_len, 1.0)[..., None]
-    flip = jnp.sum(jnp.squeeze(rd, -2) * n_unit, axis=-1) > 0.0
-    n_unit = jnp.where(flip[..., None], -n_unit, n_unit)
+    if cfg.shading != "fixed_light":
+        # C14 flips toward the ray; C12 keeps the raw winding normal.
+        flip = jnp.sum(jnp.squeeze(rd, -2) * n_unit, axis=-1) > 0.0
+        n_unit = jnp.where(flip[..., None], -n_unit, n_unit)
     alb = sel3(tris[..., 9:12])
     typ = sel1(tris[..., 12])
 
@@ -268,7 +270,7 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
 
 def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                        alive, sky_on, cfg: RenderConfig,
-                       start_bounce: int = 1):
+                       start_bounce: int = 1, pix=None):
     """Bounces as ONE fused loop with live-ray width compaction.
 
     Structure (each piece measured — PERF_NOTES.md):
@@ -300,12 +302,14 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     hitstate = (zero, zero, zero, zero, zero, zero, zero)
     bounce = jnp.full((p,), start_bounce, jnp.int32)
     rays_traced = jnp.sum(alive.astype(jnp.float32))
-    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
+    if pix is None:  # deposit target per ray; callers pass a permutation
+        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
 
     # Width levels: p, p/r, p/r^2, ... (floor measured: 512-2048 beats
     # 8192 by ~1.7x at 720p; ratio/floor env-tunable).
     floor = int(_os.environ.get("RAYTPU_COMPACT_FLOOR", "1024"))
-    ratio = int(_os.environ.get("RAYTPU_COMPACT_RATIO", "2"))
+    # ratio < 2 would stop the level list from shrinking -> infinite loop.
+    ratio = max(2, int(_os.environ.get("RAYTPU_COMPACT_RATIO", "2")))
     levels = [p]
     while levels[-1] // ratio >= min(floor, p):
         levels.append(levels[-1] // ratio)
@@ -334,6 +338,7 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         if is_last:
             break
         pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        live_count = jnp.sum(live.astype(jnp.int32))
         slots = jnp.where(live, pos, next_width)
         order = jnp.zeros((next_width,), jnp.int32).at[slots].set(
             jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0).reshape(width),
@@ -346,11 +351,14 @@ def megakernel_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         ipack = jnp.stack([node, jax.lax.bitcast_convert_type(
             seed, jnp.int32), bounce, pix], axis=-1)
         ipack = jnp.take(ipack, order, axis=0)
-        # A slot is only valid if its ray was live. Unfilled slots default
-        # to gathering ray 0's state — kill them thoroughly: done node,
-        # dropped pixel id, zero color (otherwise later level boundaries
-        # re-deposit ray 0's color once per clone slot).
-        valid = jnp.take(live, order, axis=0)
+        # Exactly the first live_count slots are filled (cumsum compaction
+        # is dense); everything past them is a clone of ray 0's state and
+        # must be killed thoroughly: done node, dropped pixel id, zero
+        # color. (`take(live, order)` is NOT a valid test — when ray 0 is
+        # itself live at a boundary it marks every clone slot valid and
+        # re-deposits ray 0's color once per clone.)
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (next_width, 1), 0)
+                 .reshape(next_width) < live_count)
         node = jnp.where(valid, ipack[:, 0], done)
         seed = jax.lax.bitcast_convert_type(ipack[:, 1], jnp.uint32)
         bounce = ipack[:, 2]
@@ -477,6 +485,68 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     pixel = (yy * w + xx).astype(jnp.uint32)
 
     seed = initial_seed(cam, cfg, pixel, sample_index)
+
+    if cfg.shading == "fixed_light":
+        from raytracer_tpu.kernels.tracer import fixed_light_color
+
+        seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh,
+                                               jitter=False)
+        res = ray_traverse_fast(scene, ray_o, ray_d,
+                                jnp.ones((p,), bool), cfg)
+        color = fixed_light_color(res)
+        stats = {"rays_traced": jnp.float32(p), "bounce_iters": jnp.int32(1)}
+        image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
+        return image, stats
+
+    b0 = _os.environ.get("RAYTPU_B0", "mega")
+    if b0 == "pallas":
+        from raytracer_tpu.kernels.pallas_trace import BLOCK, pick_tile
+        tile = pick_tile(h, w)
+        if tile is None or p % BLOCK:
+            b0 = "mega"  # frame too small/odd for 1024-ray tiles
+
+    if b0 == "pallas":
+        # Primary traversal in the Pallas per-tile kernel: rays generated
+        # in tile-major order (consecutive 1024 rays = one compact pixel
+        # tile), results deposited back to raster order by pixel id.
+        from raytracer_tpu.kernels.pallas_trace import pallas_traverse
+
+        th, tw = tile
+        i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
+        per = th * tw
+        t_id, off = i // per, i % per
+        tiles_x = w // tw
+        xx = (t_id % tiles_x) * tw + off % tw
+        yy_local = (t_id // tiles_x) * th + off // tw
+        yy = yy_local + jnp.int32(y_offset)
+        pixel = (yy * w + xx).astype(jnp.uint32)
+        seed = initial_seed(cam, cfg, pixel, sample_index)
+        seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh)
+
+        zero = jnp.zeros((p,), jnp.float32)
+        one = jnp.ones((p,), jnp.float32)
+        alive = jnp.ones((p,), bool)
+        sky_on = cam.sky_enabled > 0
+        res = pallas_traverse(scene, ray_o, ray_d, alive, cfg)
+        ray_o, ray_d, color, atten, seed, alive = shade(
+            res, ray_o, ray_d, (zero, zero, zero), (one, one, one), seed,
+            alive, sky_on, cfg)
+        pix_local = yy_local * w + xx
+        if cfg.max_bounces > 1:
+            cx, cy, cz, rays = megakernel_bounces(
+                scene, ray_o, ray_d, color, atten, seed, alive, sky_on,
+                cfg, start_bounce=1, pix=pix_local)
+            color = (cx, cy, cz)  # every ray deposits at its pixel id
+            rays = rays + jnp.float32(p)
+        else:
+            color = tuple(
+                jnp.zeros((p,), jnp.float32).at[pix_local].set(c)
+                for c in color)
+            rays = jnp.float32(p)
+        stats = {"rays_traced": rays, "bounce_iters": jnp.int32(0)}
+        image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
+        return image, stats
+
     seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh)
 
     zero = jnp.zeros((p,), jnp.float32)
@@ -486,7 +556,7 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     alive = jnp.ones((p,), bool)
     sky_on = cam.sky_enabled > 0
 
-    if _os.environ.get("RAYTPU_B0", "mega") == "mega":
+    if b0 == "mega":
         # Primaries through the compacting megakernel (measured ~1.3x
         # faster than the tile-packet phase at 720p once compaction + SAH
         # landed; RAYTPU_B0=packet restores the tile path for A/B).

@@ -1,0 +1,223 @@
+"""Pallas per-tile BVH traversal: the VMEM-resident fast path.
+
+This is the TPU-native analogue of the reference's per-8x8-workgroup
+compute-shader traversal (``shaders/compute_dynamic_ray.comp:157,179-210``):
+where a GPU workgroup walks the BVH with per-thread stacks, a TPU core
+walks it with **one scalar node pointer per 1024-ray tile**, the whole
+node/cluster table resident in VMEM.
+
+Why this shape (all measured, PERF_NOTES.md):
+
+* XLA lockstep traversal pays max-over-all-rays iterations and is bound by
+  the HBM gather row-rate (~376 Mrows/s). Here the node fetch is a scalar
+  ``dynamic_slice`` from VMEM (Mosaic has no vector gather — also measured)
+  and costs ~nothing.
+* The Pallas grid is sequential on a TPU core, so a per-tile ``while_loop``
+  exit means total work is *sum over tiles of each tile's own walk length*,
+  not frame-max. A tile of coherent rays stops as soon as its union walk is
+  done.
+* Ray state is [8, 128] blocks (one f32 vreg per component): every vector
+  op runs with all VPU lanes busy. Triangle data is consumed as [1, 1]
+  broadcast slices of the gathered 128-float cluster row — never through a
+  trailing dim of 3 (vreg-padding cliff).
+
+Grouping changes traversal *order* only: strict ``t < closest_t``
+comparisons keep the closest hit identical to the per-ray tracer (and the
+GLSL reference) to float precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.fast_types import CLUSTER_SIZE, FastScene, TRI_STRIDE
+from raytracer_tpu.core.types import RenderConfig
+from raytracer_tpu.kernels.tracer import TraversalResult
+
+# One tile = one f32 vector register plane of rays.
+BLOCK_SUBLANES = 8
+BLOCK_LANES = 128
+BLOCK = BLOCK_SUBLANES * BLOCK_LANES  # 1024 rays
+
+
+def _trace_kernel(num_ref, nodes_ref, clusters_ref,
+                  rox_ref, roy_ref, roz_ref,
+                  rdx_ref, rdy_ref, rdz_ref, act_ref,
+                  t_ref, nx_ref, ny_ref, nz_ref,
+                  ar_ref, ag_ref, ab_ref, mt_ref,
+                  *, t_min, t_max, det_eps, flip_normals):
+    num_nodes = num_ref[0]
+
+    rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
+    rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+    ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
+    active = act_ref[:] > 0.5
+
+    shape = rox.shape
+    t_ref[:] = jnp.full(shape, t_max, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    for ref in (nx_ref, ny_ref, nz_ref, ar_ref, ag_ref, ab_ref, mt_ref):
+        ref[:] = zero
+
+    node0 = jnp.where(jnp.any(active), jnp.int32(0), num_nodes)
+
+    def cond(node):
+        return node < num_nodes
+
+    def body(node):
+        nrow = nodes_ref[pl.ds(node, 1), :]                # f32 [1, 8]
+        icols = jax.lax.bitcast_convert_type(nrow[:, 6:8], jnp.int32)
+        skip = icols[0, 0]
+        col7 = icols[0, 1]  # leaf -> cluster id; internal -> -(left+1)
+
+        # Slab test: node bounds as true scalar extracts (Mosaic broadcasts
+        # scalars to vregs; [1,1]-vector broadcasts it does not — exp7).
+        def axis(lo, hi, ro, iv):
+            q0 = (nrow[0, lo] - ro) * iv
+            q1 = (nrow[0, hi] - ro) * iv
+            return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+
+        e0, x0 = axis(0, 3, rox, ivx)
+        e1_, x1 = axis(1, 4, roy, ivy)
+        e2_, x2 = axis(2, 5, roz, ivz)
+        t_enter = jnp.maximum(e0, jnp.maximum(e1_, e2_))
+        t_exit = jnp.minimum(x0, jnp.minimum(x1, x2))
+        closest = t_ref[:]
+        hit = ((t_exit > t_enter) & (t_exit > t_min)
+               & (t_enter < closest) & active)
+        anyhit = jnp.any(hit)
+        is_leaf = col7 >= 0
+
+        @pl.when(anyhit & is_leaf)
+        def _():
+            crow = clusters_ref[pl.ds(col7, 1), :]          # f32 [1, 128]
+            closest = t_ref[:]
+            nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+            ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
+            mt = mt_ref[:]
+            for k in range(CLUSTER_SIZE):
+                b = k * TRI_STRIDE
+
+                def s(j, b=b):  # scalar extract (broadcasts to vregs)
+                    return crow[0, b + j]
+
+                v0x, v0y, v0z = s(0), s(1), s(2)
+                e1x, e1y, e1z = s(3) - v0x, s(4) - v0y, s(5) - v0z
+                e2x, e2y, e2z = s(6) - v0x, s(7) - v0y, s(8) - v0z
+
+                # Per-triangle geometric normal: ray-independent [1,1] math.
+                nrx = e1y * e2z - e1z * e2y
+                nry = e1z * e2x - e1x * e2z
+                nrz = e1x * e2y - e1y * e2x
+                nlen = jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz)
+                inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
+                nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
+
+                # Möller–Trumbore vs all 1024 rays
+                # (compute_dynamic_ray.comp:105-129).
+                pvx = rdy * e2z - rdz * e2y
+                pvy = rdz * e2x - rdx * e2z
+                pvz = rdx * e2y - rdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = ~((det > -det_eps) & (det < det_eps))
+                invd = 1.0 / jnp.where(ok, det, 1.0)
+                sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                tt = invd * (e2x * qx + e2y * qy + e2z * qz)
+                ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                ok &= (tt > t_min) & (tt < closest) & hit
+
+                if flip_normals:
+                    flip = (rdx * nux + rdy * nuy + rdz * nuz) > 0.0
+                    sgn = jnp.where(flip, -1.0, 1.0)
+                else:
+                    sgn = 1.0
+                closest = jnp.where(ok, tt, closest)
+                nx = jnp.where(ok, sgn * nux, nx)
+                ny = jnp.where(ok, sgn * nuy, ny)
+                nz = jnp.where(ok, sgn * nuz, nz)
+                ar = jnp.where(ok, s(9), ar)
+                ag = jnp.where(ok, s(10), ag)
+                ab = jnp.where(ok, s(11), ab)
+                mt = jnp.where(ok, s(12), mt)
+            t_ref[:] = closest
+            nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
+            ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
+            mt_ref[:] = mt
+
+        return jnp.where(anyhit & (col7 < 0), -col7 - jnp.int32(1), skip)
+
+    jax.lax.while_loop(cond, body, node0)
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "det_eps",
+                                             "flip_normals", "interpret"))
+def _trace_call(num_nodes, nodes, clusters, comps,
+                t_min, t_max, det_eps, flip_normals, interpret):
+    rows = comps[0].shape[0]
+    grid = rows // BLOCK_SUBLANES
+    block = pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table, on-chip
+
+    kernel = functools.partial(
+        _trace_kernel, t_min=t_min, t_max=t_max, det_eps=det_eps,
+        flip_normals=flip_normals)
+    out = jax.ShapeDtypeStruct((rows, BLOCK_LANES), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident] + [block] * 7,
+        out_shape=(out,) * 8,
+        out_specs=(block,) * 8,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=12 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes, nodes, clusters, *comps)
+
+
+def pick_tile(h: int, w: int):
+    """Most compact pixel tile with BLOCK rays that divides the frame
+    (coherence order: 32x32 > 16x64 > 8x128 — measured, exp6)."""
+    for th, tw in ((32, 32), (16, 64), (8, 128)):
+        if h % th == 0 and w % tw == 0:
+            return th, tw
+    return None
+
+
+def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
+                    cfg: RenderConfig,
+                    interpret: bool | None = None) -> TraversalResult:
+    """Closest-hit for flat [P] SoA rays, P a multiple of 1024.
+
+    Consecutive 1024-ray groups should be spatially coherent (the caller
+    orders primaries tile-major); correctness does not depend on it.
+    """
+    p = ray_o[0].shape[0]
+    if p % BLOCK:
+        raise ValueError(f"ray count {p} not a multiple of {BLOCK}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rows = p // BLOCK_LANES
+    comps = tuple(c.reshape(rows, BLOCK_LANES)
+                  for c in (*ray_o, *ray_d)) + (
+        active.astype(jnp.float32).reshape(rows, BLOCK_LANES),)
+    num = jnp.asarray(scene.num_nodes, jnp.int32).reshape(1)
+
+    outs = _trace_call(num, scene.nodes8, scene.clusters, comps,
+                       float(cfg.t_min), float(cfg.t_max),
+                       float(cfg.det_eps),
+                       cfg.shading != "fixed_light", interpret)
+    t, nx, ny, nz, ar, ag, ab, mt = (o.reshape(p) for o in outs)
+    return TraversalResult(t, t < cfg.t_max, (nx, ny, nz), (ar, ag, ab), mt)

@@ -128,8 +128,11 @@ def traverse(scene: GpuScene, ray_o: vec.V3, ray_d: vec.V3, active,
         n_raw = vec.cross(e1, e2)
         inv_len = 1.0 / jnp.where(upd, vec.length(n_raw), 1.0)
         n_unit = vec.scale(n_raw, inv_len)
-        flip = vec.dot(ray_d, n_unit) > 0.0
-        n_unit = vec.where(flip, vec.scale(n_unit, -1.0), n_unit)
+        if cfg.shading != "fixed_light":
+            # compute_dynamic_ray.comp:121-124 flips toward the ray; the
+            # C12 kernel keeps the raw winding normal (compute.comp:184).
+            flip = vec.dot(ray_d, n_unit) > 0.0
+            n_unit = vec.where(flip, vec.scale(n_unit, -1.0), n_unit)
 
         closest_t = jnp.where(upd, t, closest_t)
         hit_tri = jnp.where(upd, t_idx, hit_tri)
@@ -228,16 +231,21 @@ def shade(res: TraversalResult, ray_o: vec.V3, ray_d: vec.V3, color: vec.V3,
 
 
 def make_primary_rays(cam: CameraUniforms, cfg: RenderConfig, seed,
-                      xx, yy, global_height: int):
+                      xx, yy, global_height: int, jitter: bool = True):
     """Jittered camera rays (compute_dynamic_ray.comp:158-173), SoA.
 
-    xx/yy are flat i32 pixel coordinates (yy global when row-sharded)."""
+    xx/yy are flat i32 pixel coordinates (yy global when row-sharded).
+    ``jitter=False`` reproduces the C12 ray-gen (compute.comp:123-124:
+    u = x/w with no AA jitter and no RNG draws)."""
     w = cfg.width
     gh = global_height
     p = xx.shape[0]
-    all_on = jnp.ones((p,), bool)
-    seed, ju = rng.random_float(seed, all_on)
-    seed, jv = rng.random_float(seed, all_on)
+    if jitter:
+        all_on = jnp.ones((p,), bool)
+        seed, ju = rng.random_float(seed, all_on)
+        seed, jv = rng.random_float(seed, all_on)
+    else:
+        ju = jv = jnp.zeros((p,), jnp.float32)
     u = (xx.astype(jnp.float32) + ju) / jnp.float32(w)
     v = ((jnp.float32(gh - 1) - yy.astype(jnp.float32)) + jv) / jnp.float32(gh)
 
@@ -249,6 +257,20 @@ def make_primary_rays(cam: CameraUniforms, cfg: RenderConfig, seed,
         vec.add(llc, vec.add(vec.scale(hor, u), vec.scale(ver, v))),
         origin))
     return seed, origin, ray_d
+
+
+def fixed_light_color(res: TraversalResult) -> vec.V3:
+    """C12 shading (shaders/compute.comp:196-204): fixed light direction
+    normalize(1,1,1), intensity = max(0, n·l)*0.8 + 0.2, albedo*intensity on
+    hit, black background. Expects raw (unflipped) geometric normals, i.e.
+    traversal run with cfg.shading == "fixed_light"."""
+    inv_sqrt3 = jnp.float32(1.0) / jnp.sqrt(jnp.float32(3.0))
+    ndotl = (res.normal[0] + res.normal[1] + res.normal[2]) * inv_sqrt3
+    intensity = jnp.maximum(jnp.float32(0.0), ndotl) * 0.8 + 0.2
+    zero = jnp.zeros_like(intensity)
+    return vec.where(res.hit,
+                     vec.scale(res.mat_albedo, intensity),
+                     (zero, zero, zero))
 
 
 def initial_seed(cam: CameraUniforms, cfg: RenderConfig, pixel,
@@ -284,13 +306,24 @@ def render_linear(scene: GpuScene, cam: CameraUniforms, cfg: RenderConfig,
     pixel = (yy * w + xx).astype(jnp.uint32)
 
     seed = initial_seed(cam, cfg, pixel, sample_index)
+    alive = jnp.ones((p,), bool)
+
+    if cfg.shading == "fixed_light":
+        # C12 tier: one unjittered primary ray, Lambert-with-ambient shade.
+        seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh,
+                                               jitter=False)
+        res = traverse(scene, ray_o, ray_d, alive, cfg)
+        color = fixed_light_color(res)
+        stats = {"rays_traced": jnp.float32(p), "bounce_iters": jnp.int32(1)}
+        image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
+        return image, stats
+
     seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh)
 
     zero = jnp.zeros((p,), jnp.float32)
     one = jnp.ones((p,), jnp.float32)
     color = (zero, zero, zero)
     atten = (one, one, one)
-    alive = jnp.ones((p,), bool)
     sky_on = cam.sky_enabled > 0
 
     def bounce_cond(c):

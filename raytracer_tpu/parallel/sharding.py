@@ -108,6 +108,12 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
         in_specs=(replicated, replicated, row_sharded),
         out_specs=(row_sharded, row_sharded,
                    {"rays_traced": replicated, "samples": replicated}),
+        # vma inference rejects the kernels' constant-initialized
+        # while_loop carries (unvarying init vs varying body output, e.g.
+        # rng.random_vec3_in_unit_sphere); threading pvary through every
+        # loop would touch all kernels for no runtime effect. Correctness
+        # of the specs is covered by tests/test_parallel.py's bit-identical
+        # mesh-vs-single-device images across (8,1)/(4,2)/(2,4) meshes.
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(2,))

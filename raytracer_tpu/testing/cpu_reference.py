@@ -74,8 +74,10 @@ def _hit_aabb(o, inv_d, bmin, bmax, t_min, t_max):
     return t_exit > t_enter and t_exit > t_min and t_enter < t_max
 
 
-def _hit_triangle(o, d, v0, v1, v2, closest_t):
-    """Returns (hit, t, normal) — compute_dynamic_ray.comp:105-129."""
+def _hit_triangle(o, d, v0, v1, v2, closest_t, flip_normal=True):
+    """Returns (hit, t, normal) — compute_dynamic_ray.comp:105-129.
+    ``flip_normal=False`` reproduces the C12 kernel, which records the raw
+    winding normal (compute.comp:182-184)."""
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = np.cross(d, e2).astype(F)
@@ -94,13 +96,13 @@ def _hit_triangle(o, d, v0, v1, v2, closest_t):
     t = inv_det * F(e2 @ qvec)
     if t > T_MIN and t < closest_t:
         n = _normalize(np.cross(e1, e2).astype(F))
-        if d @ n > 0.0:
+        if flip_normal and d @ n > 0.0:
             n = -n
         return True, F(t), n
     return False, closest_t, None
 
 
-def _traverse(scene_np, o, d):
+def _traverse(scene_np, o, d, flip_normal=True):
     """Stack-based walk using the reference data/count encoding."""
     inv_d = (F(1.0) / d).astype(F)
     closest_t = T_MAX
@@ -118,7 +120,8 @@ def _traverse(scene_np, o, d):
         if count < 0:  # leaf
             tri = -(int(data) + 1)
             v0, v1, v2 = scene_np["tri_verts"][tri]
-            hit, closest_t, n = _hit_triangle(o, d, v0, v1, v2, closest_t)
+            hit, closest_t, n = _hit_triangle(o, d, v0, v1, v2, closest_t,
+                                              flip_normal=flip_normal)
             if hit:
                 hit_tri = tri
                 normal = n
@@ -180,6 +183,35 @@ def render_pixel(scene_np, cam, x, y, width, height, seed,
         final_color = np.zeros(3, F)  # bounce-limit kill
 
     return final_color
+
+
+def render_pixel_fixed_light(scene_np, cam, x, y, width, height):
+    """C12 oracle (shaders/compute.comp:114-207): unjittered ray from the
+    camera uniforms, one traversal, fixed-light Lambert shading
+    (light dir normalize(1,1,1), max(0,n·l)*0.8+0.2), black background."""
+    u = F(F(x) / F(width))
+    v = F(F(height - 1 - y) / F(height))
+    o = np.asarray(cam["origin"], F)
+    d = _normalize(np.asarray(cam["lower_left_corner"], F)
+                   + u * np.asarray(cam["horizontal"], F)
+                   + v * np.asarray(cam["vertical"], F) - o)
+    closest_t, hit_tri, normal = _traverse(scene_np, o, d,
+                                           flip_normal=False)
+    if hit_tri == -1:
+        return np.zeros(3, F)
+    albedo = scene_np["materials"][hit_tri][0:3].astype(F)
+    light_dir = _normalize(np.ones(3, F))
+    intensity = F(max(0.0, float(normal @ light_dir)) * 0.8 + 0.2)
+    return (albedo * intensity).astype(F)
+
+
+def render_image_fixed_light(scene_np, cam, width, height):
+    img = np.zeros((height, width, 3), F)
+    for y in range(height):
+        for x in range(width):
+            img[y, x] = render_pixel_fixed_light(scene_np, cam, x, y,
+                                                 width, height)
+    return img
 
 
 def render_image(scene_np, cam, width, height, max_bounces=10,

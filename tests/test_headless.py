@@ -59,3 +59,22 @@ def test_headless_checkpoint_resume(tmp_path, scene_json):
 def test_parser_rejects_missing_scene():
     with pytest.raises(SystemExit):
         build_parser().parse_args([])
+
+
+def test_parser_rejects_zero_frames(scene_json):
+    with pytest.raises(SystemExit):
+        main(["--scene", scene_json, "--frames", "0"])
+
+
+def test_headless_multichip_matches_single(tmp_path, scene_json):
+    """--devices 8 --sp 2 on the virtual CPU mesh must produce the
+    bit-identical image to the single-device run (same seeds, same
+    viewport mapping; the psum-mean is exact for identical shards)."""
+    common = ["--scene", scene_json, "--width", "64", "--height", "32",
+              "--max-bounces", "2", "--camera", "0,2,25", "--vfov", "40",
+              "--frames", "2", "--spp", "2"]
+    single = str(tmp_path / "single.png")
+    main(common + ["-o", single])
+    meshed = str(tmp_path / "meshed.png")
+    main(common + ["-o", meshed, "--devices", "8", "--sp", "2"])
+    np.testing.assert_array_equal(read_png(single), read_png(meshed))

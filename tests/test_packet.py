@@ -68,6 +68,71 @@ def test_packet_matches_wavefront_progressive_rng():
     _compare(0.0, 1.0, rng="progressive")
 
 
+def test_compaction_clone_slots_with_live_ray0():
+    """Regression: when ray 0 is still alive at a compaction boundary,
+    clone slots must not re-deposit its color (needs p > compact floor so
+    levels actually compact, and a view where the top-left ray bounces)."""
+    w, h = 128, 32
+    plane = (assets.make_ground_plane() * np.array([500, 1, 500], np.float32)
+             + np.array([0, -10, 0], np.float32))
+    mats = np.zeros((2, 4), np.float32)
+    mats[:, 0:3] = (0.9, 0.9, 0.9)  # bright matte: long-lived paths
+    slow = build_gpu_scene_from_arrays(plane, mats)
+    fast = build_fast_scene_from_arrays(plane, mats)
+    # Look down at the plane so every primary (incl. pixel 0) hits it.
+    cam = Camera(origin=(0.0, 40.0, 0.1), look_at=(0.0, 0.0, 0.0),
+                 vfov_deg=60.0, aspect_ratio=w / h)
+    uni = cam.uniforms()
+    a, _ = render_linear(slow, uni, RenderConfig(
+        width=w, height=h, rng_mode="reference", kernel="wavefront"))
+    b, _ = render_linear_fast(fast, uni, RenderConfig(
+        width=w, height=h, rng_mode="reference", kernel="packet"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pallas_b0_matches_megakernel(monkeypatch):
+    """A/B: the Pallas per-tile bounce-0 path must agree with the default
+    megakernel to float tolerance (same RNG streams, same strict
+    closest-t). Needs a frame large enough for 1024-ray tiles."""
+    w, h = 128, 32
+    cube = assets.make_cube() * 4.0 + np.array([0, -6, 0], np.float32)
+    sphere = assets.make_icosphere(2, 3.0) + np.array([6, -3, 2], np.float32)
+    plane = (assets.make_ground_plane() * np.array([150, 1, 150], np.float32)
+             + np.array([0, -10, 0], np.float32))
+    verts = np.concatenate([plane, cube, sphere])
+    mats = np.zeros((verts.shape[0], 4), np.float32)
+    mats[:2, 0:3] = (0.5, 0.5, 0.5)
+    mats[2:14, 0:3] = (1.0, 0.2, 0.2)
+    mats[14:, 0:3] = (0.7, 0.7, 0.2)
+    mats[14:, 3] = 1.0
+    fast_scene = build_fast_scene_from_arrays(verts, mats)
+    cfg = RenderConfig(width=w, height=h, rng_mode="reference",
+                       kernel="packet")
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=w / h)
+    uni = cam.uniforms()
+    monkeypatch.setenv("RAYTPU_B0", "mega")
+    a, stats_a = render_linear_fast(fast_scene, uni, cfg)
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    b, stats_b = render_linear_fast(fast_scene, uni, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
+
+
+def test_tile_packet_b0_matches_megakernel(monkeypatch):
+    """A/B: the RAYTPU_B0=packet tile phase must agree with the default
+    megakernel primaries path (same strict closest-t semantics)."""
+    _, fast_scene = _scenes(0.0, 1.0)
+    cfg = RenderConfig(width=W, height=H, rng_mode="reference",
+                       kernel="packet")
+    uni = _cam().uniforms()
+    monkeypatch.setenv("RAYTPU_B0", "mega")
+    a, _ = render_linear_fast(fast_scene, uni, cfg)
+    monkeypatch.setenv("RAYTPU_B0", "packet")
+    b, _ = render_linear_fast(fast_scene, uni, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_packet_rejects_unaligned_resolution():
     import pytest
 
