@@ -64,9 +64,13 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
     import dataclasses
 
     spp = cfg.samples_per_pixel
-    if cfg.kernel == "packet":
+    from raytracer_tpu.core.fast_types import FastScene
+
+    if cfg.kernel == "packet" and isinstance(scene, FastScene):
         from raytracer_tpu.kernels.packet import render_linear_fast as rl
     else:
+        # A GpuScene (build_gpu_scene) always renders via the per-ray
+        # tracer: the packet kernels need the packed FastScene tables.
         rl = render_linear
 
     nb = _num_bands(cfg)

@@ -498,7 +498,12 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
         image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
         return image, stats
 
-    b0 = _os.environ.get("RAYTPU_B0", "mega")
+    # Default primary-bounce path: the Pallas per-tile kernel on real TPU
+    # (measured 1.25x full-frame vs the XLA megakernel at 720p); the XLA
+    # megakernel elsewhere (interpret-mode Pallas is a Python loop — fine
+    # for the small explicit-parity tests, too slow as the CPU default).
+    default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
+    b0 = _os.environ.get("RAYTPU_B0", default_b0)
     if b0 == "pallas":
         from raytracer_tpu.kernels.pallas_trace import BLOCK, pick_tile
         tile = pick_tile(h, w)
@@ -533,9 +538,22 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
             alive, sky_on, cfg)
         pix_local = yy_local * w + xx
         if cfg.max_bounces > 1:
-            cx, cy, cz, rays = megakernel_bounces(
-                scene, ray_o, ray_d, color, atten, seed, alive, sky_on,
-                cfg, start_bounce=1, pix=pix_local)
+            bounce_path = _os.environ.get(
+                "RAYTPU_BOUNCE",
+                "wave" if jax.default_backend() == "tpu" else "mega")
+            if bounce_path == "wave":
+                # Sorted wavefront rounds on the Pallas traversal
+                # (kernels/wavefront.py) — measured ~? vs the XLA
+                # megakernel; RAYTPU_BOUNCE=mega restores it for A/B.
+                from raytracer_tpu.kernels.wavefront import \
+                    wavefront_bounces
+                cx, cy, cz, rays = wavefront_bounces(
+                    scene, ray_o, ray_d, color, atten, seed, alive,
+                    sky_on, cfg, start_bounce=1, pix=pix_local)
+            else:
+                cx, cy, cz, rays = megakernel_bounces(
+                    scene, ray_o, ray_d, color, atten, seed, alive,
+                    sky_on, cfg, start_bounce=1, pix=pix_local)
             color = (cx, cy, cz)  # every ray deposits at its pixel id
             rays = rays + jnp.float32(p)
         else:

@@ -181,7 +181,11 @@ def _trace_call(num_nodes, nodes, clusters, comps,
         out_shape=(out,) * 8,
         out_specs=(block,) * 8,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=12 * 1024 * 1024),
+            # Tables (nodes + clusters ~9 MB at 50k tris) + whatever
+            # block/operand staging XLA decides to scope into VMEM; 12 MB
+            # was too tight when callers pass loop-invariant ray state
+            # (hoisted operands get VMEM-scoped — measured, exp9).
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(num_nodes, nodes, clusters, *comps)
 

@@ -1,0 +1,87 @@
+"""Sorted-wavefront bounce rounds (kernels/wavefront.py).
+
+The wavefront path reorders rays every round; because RNG streams are
+carried per-ray state and closest-hit uses strict comparisons, its output
+must match the XLA megakernel bit-for-bit-ish (float precision) through the
+full pallas-b0 render path.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.camera import Camera
+from raytracer_tpu.core.types import RenderConfig
+from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
+from raytracer_tpu.utils import assets
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    cube = assets.make_cube() * 4.0 + np.array([0, -6, 0], np.float32)
+    metal = assets.make_cube() * 3.0 + np.array([9, -7, 2], np.float32)
+    plane = (assets.make_ground_plane() * np.array([150, 1, 150], np.float32)
+             + np.array([0, -10, 0], np.float32))
+    verts = np.concatenate([plane, cube, metal]).astype(np.float32)
+    mats = np.zeros((verts.shape[0], 4), np.float32)
+    mats[:, 0:3] = (0.7, 0.5, 0.4)
+    mats[2 + cube.shape[0]:, 3] = 1.0  # metal cube
+    return build_fast_scene_from_arrays(verts, mats)
+
+
+def _render(scene, b0, bounce_path, monkeypatch, w=128, h=128, bounces=6):
+    """Full packet-path frame with the given bounce-0/bounce engine."""
+    from raytracer_tpu.kernels.packet import render_linear_fast
+
+    monkeypatch.setenv("RAYTPU_B0", b0)
+    monkeypatch.setenv("RAYTPU_BOUNCE", bounce_path)
+    cfg = RenderConfig(width=w, height=h, max_bounces=bounces,
+                       kernel="packet")
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=w / h)
+    img, stats = jax.jit(
+        lambda s, u: render_linear_fast(s, u, cfg))(scene, cam.uniforms())
+    return np.asarray(img), float(stats["rays_traced"])
+
+
+def test_wavefront_matches_megakernel(small_scene, monkeypatch):
+    """128x128 = 16384 rays -> two width levels (16384, 8192): exercises
+    rounds, the shrink slice, and tail deposits."""
+    ref, rays_ref = _render(small_scene, "pallas", "mega", monkeypatch)
+    wave, rays_wave = _render(small_scene, "pallas", "wave", monkeypatch)
+    np.testing.assert_allclose(wave, ref, atol=2e-5)
+    assert rays_wave == rays_ref
+
+
+def test_wavefront_single_level(small_scene, monkeypatch):
+    """64x128 = 8192 rays = MIN_WIDTH: single level, no shrink."""
+    ref, _ = _render(small_scene, "pallas", "mega", monkeypatch,
+                     w=128, h=64, bounces=4)
+    wave, _ = _render(small_scene, "pallas", "wave", monkeypatch,
+                      w=128, h=64, bounces=4)
+    np.testing.assert_allclose(wave, ref, atol=2e-5)
+
+
+def test_sort_key_orders_dead_last():
+    from raytracer_tpu.kernels.wavefront import sort_key
+
+    n = 64
+    rng = np.random.default_rng(0)
+    ro = tuple(jnp.asarray(rng.uniform(-5, 5, n).astype(np.float32))
+               for _ in range(3))
+    rd = tuple(jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
+               for _ in range(3))
+    alive = jnp.asarray(rng.uniform(size=n) < 0.5)
+    key = np.asarray(sort_key(ro, rd, alive,
+                              (jnp.float32(-5),) * 3, (jnp.float32(5),) * 3))
+    order = np.argsort(key)
+    sorted_alive = np.asarray(alive)[order]
+    first_dead = np.argmax(~sorted_alive) if (~sorted_alive).any() else n
+    assert not sorted_alive[first_dead:].any()
+    # octant is the top non-dead key field
+    octant = np.asarray(
+        (np.asarray(rd[0]) > 0).astype(np.uint32)
+        | ((np.asarray(rd[1]) > 0).astype(np.uint32) << 1)
+        | ((np.asarray(rd[2]) > 0).astype(np.uint32) << 2))
+    live_sorted = order[:first_dead]
+    assert (np.diff(octant[live_sorted]) >= 0).all()
