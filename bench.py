@@ -17,7 +17,10 @@ Modes (RAYTPU_BENCH_MODE or argv[1]) map to the five BASELINE.json configs:
   car_1080p   flagship mesh, mixed materials, 1920x1080 path tracing
 
 Env knobs: RAYTPU_BENCH_RES=WxH, RAYTPU_BENCH_FRAMES=N,
-RAYTPU_BENCH_BOUNCES=N.
+RAYTPU_BENCH_BOUNCES=N, RAYTPU_BENCH_SPP=K (renders K samples per
+dispatch inside one jit — amortizes per-dispatch fixed cost + readback
+RTT; the reference's accumulation loop does 1 sample per 16 ms tick,
+VulkanApp.java:199-217).
 """
 
 import json
@@ -136,10 +139,14 @@ def main():
     width, height = (int(x) for x in res.split("x"))
     n_frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "16"))
     bounces = int(os.environ.get("RAYTPU_BENCH_BOUNCES", "10"))
+    spp = int(os.environ.get("RAYTPU_BENCH_SPP", "1"))
 
     from raytracer_tpu.engine.renderer import Renderer
 
     scene, cfg, cam, per_frame = _mode_setup(mode, width, height, bounces)
+    if spp != 1:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, samples_per_pixel=spp)
     renderer = Renderer(cfg)
 
     if per_frame == "rebuild":
@@ -203,6 +210,7 @@ def main():
         "resolution": f"{cfg.width}x{cfg.height}",
         "scene_triangles": int(np.asarray(scene.num_triangles)),
         "max_bounces": cfg.max_bounces,
+        "spp": cfg.samples_per_pixel,
         "frames_timed": n_frames,
     }))
 

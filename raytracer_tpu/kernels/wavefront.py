@@ -31,12 +31,18 @@ import jax.numpy as jnp
 
 from raytracer_tpu.core.fast_types import FastScene
 from raytracer_tpu.core.types import RenderConfig
-from raytracer_tpu.kernels.pallas_trace import BLOCK, pallas_traverse
+from raytracer_tpu.kernels.pallas_trace import (BLOCK_LANES,
+                                                BOUNCE_SUBLANES,
+                                                pallas_traverse)
 from raytracer_tpu.kernels.tracer import shade
 
-# Narrowest sorted-round width: 8 Pallas tiles. Below this the per-round
+# Bounce rounds use their own tile size: sorted bounce rays measured
+# fastest at 16-sublane (2048-ray) tiles (sublanes sweep, PERF_NOTES.md).
+BBLOCK = BOUNCE_SUBLANES * BLOCK_LANES
+
+# Narrowest sorted-round width: 4 Pallas tiles. Below this the per-round
 # fixed costs (sort + dispatch) beat any coherence gain.
-MIN_WIDTH = 8 * BLOCK
+MIN_WIDTH = 4 * BBLOCK
 
 
 def _part1by2(v):
@@ -74,7 +80,7 @@ def _round_widths(p: int):
     width rounded down to a whole number of Pallas blocks."""
     widths = [p]
     while True:
-        nxt = (widths[-1] // 2 // BLOCK) * BLOCK
+        nxt = (widths[-1] // 2 // BBLOCK) * BBLOCK
         if nxt < MIN_WIDTH:
             break
         widths.append(nxt)
@@ -85,15 +91,15 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                       alive, sky_on, cfg: RenderConfig,
                       start_bounce: int = 1, pix=None,
                       interpret: bool | None = None):
-    """Sorted bounce rounds. State is flat [P] SoA (P multiple of 1024).
+    """Sorted bounce rounds. State is flat [P] SoA (P multiple of BBLOCK).
 
     Semantics identical to packet.megakernel_bounces: every ray deposits
     its color at ``pix`` exactly once; returns (cx, cy, cz, rays_traced)
     with colors scatter-summed into a [P] buffer by pixel id.
     """
     p = ray_o[0].shape[0]
-    if p % BLOCK:
-        raise ValueError(f"ray count {p} not a multiple of {BLOCK}")
+    if p % BBLOCK:
+        raise ValueError(f"ray count {p} not a multiple of {BBLOCK}")
     if pix is None:
         pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
 
@@ -126,7 +132,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
         rays = rays + jnp.sum(alive.astype(jnp.float32))
         res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
-                              interpret=interpret)
+                              interpret=interpret,
+                              sublanes=BOUNCE_SUBLANES)
         ray_o, ray_d, color, atten, seed, alive = shade(
             res, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg)
         return ray_o, ray_d, color, atten, seed, alive, pix, rays
