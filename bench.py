@@ -140,13 +140,17 @@ def main():
     n_frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "16"))
     bounces = int(os.environ.get("RAYTPU_BENCH_BOUNCES", "10"))
     spp = int(os.environ.get("RAYTPU_BENCH_SPP", "1"))
+    band = os.environ.get("RAYTPU_BENCH_BAND")  # rays/band; 0 = one band
 
     from raytracer_tpu.engine.renderer import Renderer
 
     scene, cfg, cam, per_frame = _mode_setup(mode, width, height, bounces)
-    if spp != 1:
+    if spp != 1 or band is not None:
         import dataclasses
-        cfg = dataclasses.replace(cfg, samples_per_pixel=spp)
+        repl = {"samples_per_pixel": spp}
+        if band is not None:
+            repl["band_rays"] = int(band)
+        cfg = dataclasses.replace(cfg, **repl)
     renderer = Renderer(cfg)
 
     if per_frame == "rebuild":

@@ -504,52 +504,64 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     # for the small explicit-parity tests, too slow as the CPU default).
     default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
     b0 = _os.environ.get("RAYTPU_B0", default_b0)
+
     if b0 == "pallas":
-        from raytracer_tpu.kernels.pallas_trace import BLOCK, pick_tile
+        # Primary traversal in the Pallas per-tile kernel. Preferred ray
+        # order is tile-major (consecutive BLOCK rays = one compact pixel
+        # tile); frames whose dimensions don't tile (e.g. 1080p with
+        # 4096-ray tiles) fall back to raster order padded with dead rays
+        # — rows of a wide frame are still coherent, and whole-dead pad
+        # tiles exit the Pallas grid in one step. Results are deposited
+        # back to raster order by pixel id either way.
+        from raytracer_tpu.kernels.pallas_trace import (BLOCK,
+                                                        pallas_traverse,
+                                                        pick_tile)
+        from raytracer_tpu.kernels.wavefront import BBLOCK
+
         tile = pick_tile(h, w)
-        if tile is None or p % BLOCK:
-            b0 = "mega"  # frame too small/odd for 1024-ray tiles
-
-    if b0 == "pallas":
-        # Primary traversal in the Pallas per-tile kernel: rays generated
-        # in tile-major order (consecutive 1024 rays = one compact pixel
-        # tile), results deposited back to raster order by pixel id.
-        from raytracer_tpu.kernels.pallas_trace import pallas_traverse
-
-        th, tw = tile
-        i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).reshape(p)
-        per = th * tw
-        t_id, off = i // per, i % per
-        tiles_x = w // tw
-        xx = (t_id % tiles_x) * tw + off % tw
-        yy_local = (t_id // tiles_x) * th + off // tw
+        # Pad to the coarser of the primary/bounce tile grains (both
+        # powers of two) so the same ray arrays feed both kernels.
+        grain = max(BLOCK, BBLOCK)
+        p_pad = -(-p // grain) * grain
+        i = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0).reshape(p_pad)
+        if tile is not None and p_pad == p:
+            th, tw = tile
+            per = th * tw
+            t_id, off = i // per, i % per
+            tiles_x = w // tw
+            xx = (t_id % tiles_x) * tw + off % tw
+            yy_local = (t_id // tiles_x) * th + off // tw
+            alive = jnp.ones((p_pad,), bool)
+        else:
+            i_mod = i % p
+            xx = i_mod % w
+            yy_local = i_mod // w
+            alive = i < p
         yy = yy_local + jnp.int32(y_offset)
         pixel = (yy * w + xx).astype(jnp.uint32)
         seed = initial_seed(cam, cfg, pixel, sample_index)
         seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh)
 
-        zero = jnp.zeros((p,), jnp.float32)
-        one = jnp.ones((p,), jnp.float32)
-        alive = jnp.ones((p,), bool)
+        zero = jnp.zeros((p_pad,), jnp.float32)
+        one = jnp.ones((p_pad,), jnp.float32)
         sky_on = cam.sky_enabled > 0
         res = pallas_traverse(scene, ray_o, ray_d, alive, cfg)
         ray_o, ray_d, color, atten, seed, alive = shade(
             res, ray_o, ray_d, (zero, zero, zero), (one, one, one), seed,
             alive, sky_on, cfg)
-        pix_local = yy_local * w + xx
+        # Pad rays carry an out-of-range pixel id; every deposit below
+        # scatters with mode="drop".
+        pix_local = jnp.where(i < p, yy_local * w + xx, jnp.int32(p))
         if cfg.max_bounces > 1:
             bounce_path = _os.environ.get(
                 "RAYTPU_BOUNCE",
                 "wave" if jax.default_backend() == "tpu" else "mega")
             if bounce_path == "wave":
-                from raytracer_tpu.kernels.wavefront import BBLOCK
-                if p % BBLOCK:
-                    bounce_path = "mega"  # frame below bounce-tile grain
-            if bounce_path == "wave":
                 # Sorted wavefront rounds on the Pallas traversal
                 # (kernels/wavefront.py) — measured 1.38x vs the XLA
                 # megakernel at 720p; RAYTPU_BOUNCE=mega restores it
-                # for A/B.
+                # for A/B. (p_pad is a BLOCK multiple, so it is always a
+                # BBLOCK multiple too.)
                 from raytracer_tpu.kernels.wavefront import \
                     wavefront_bounces
                 cx, cy, cz, rays = wavefront_bounces(
@@ -559,11 +571,14 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 cx, cy, cz, rays = megakernel_bounces(
                     scene, ray_o, ray_d, color, atten, seed, alive,
                     sky_on, cfg, start_bounce=1, pix=pix_local)
-            color = (cx, cy, cz)  # every ray deposits at its pixel id
+            # Every ray deposited at its pixel id; pad-ray deposits landed
+            # at the sentinel cell (index p) and are sliced away.
+            color = tuple(c[:p] for c in (cx, cy, cz))
             rays = rays + jnp.float32(p)
         else:
             color = tuple(
-                jnp.zeros((p,), jnp.float32).at[pix_local].set(c)
+                jnp.zeros((p,), jnp.float32)
+                .at[pix_local].set(c, mode="drop")
                 for c in color)
             rays = jnp.float32(p)
         stats = {"rays_traced": rays, "bounce_iters": jnp.int32(0)}

@@ -44,11 +44,11 @@ import os as _os
 # One tile = `sublanes` f32 vector register planes of rays sharing one
 # node pointer. Bigger tiles cut *total* union iterations (sharing
 # amortizes faster than per-tile walk length grows — exp8c) at linear
-# vector work per iteration; the sweet spot differs by ray population
-# (sublanes x unroll sweep on the 184k-ray flagship band, PERF_NOTES.md):
-# primaries S=32 128.8 Mrays/s vs S=8 74.1; bounce-1 sorted S=16 best.
-PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "32"))
-BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "16"))
+# vector work per iteration; the sweet spot differs by ray population.
+# With the packed-row SMEM node fetch (exp12b, 184k flagship band):
+# primaries S=16 1.73 ms (106 Mrays/s), sorted bounce-1 S=32 10.4 ms.
+PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "16"))
+BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "32"))
 BLOCK_LANES = 128
 BLOCK = PRIMARY_SUBLANES * BLOCK_LANES  # primary-path tile, rays
 # Tree steps per while-loop iteration (amortizes loop overhead; the second
@@ -56,13 +56,13 @@ BLOCK = PRIMARY_SUBLANES * BLOCK_LANES  # primary-path tile, rays
 TRACE_UNROLL = int(_os.environ.get("RAYTPU_PALLAS_UNROLL", "1"))
 
 
-def _trace_kernel(num_ref, nodes_ref, clusters_ref,
+def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
                   rox_ref, roy_ref, roz_ref,
                   rdx_ref, rdy_ref, rdz_ref, act_ref,
                   t_ref, nx_ref, ny_ref, nz_ref,
                   ar_ref, ag_ref, ab_ref, mt_ref,
-                  crow_smem, crow_sem,
-                  *, t_min, t_max, det_eps, flip_normals):
+                  nrow_smem, nrow_sem, crow_smem, crow_sem,
+                  *, t_min, t_max, det_eps, flip_normals, node_src):
     num_nodes = num_ref[0]
 
     rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
@@ -78,22 +78,49 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
 
     node0 = jnp.where(jnp.any(active), jnp.int32(0), num_nodes)
 
-    def cond(node):
-        return node < num_nodes
+    def cond(carry):
+        return carry[0] < num_nodes
 
-    def step(node):
+    def step(carry):
+        node, cur_row = carry
         valid = node < num_nodes
         safe = jnp.where(valid, node, 0)
-        nrow = nodes_ref[pl.ds(safe, 1), :]                # f32 [1, 8]
-        icols = jax.lax.bitcast_convert_type(nrow[:, 6:8], jnp.int32)
-        skip = icols[0, 0]
-        col7 = icols[0, 1]  # leaf -> cluster id; internal -> -(left+1)
+        if node_src == "pack":
+            # 16 nodes per 128-float packed row, links as exact float
+            # ints; DMA VMEM->SMEM only when the row changes. Pre-order
+            # left child = node+1, so downward edges stay in-row 15/16 of
+            # the time; bounds + links become SMEM scalar loads instead
+            # of VMEM lane extracts (1.8x on sorted bounce-1 — exp11).
+            row = safe // 16
+            off = (safe % 16) * 8
 
-        # Slab test: node bounds as true scalar extracts (Mosaic broadcasts
+            @pl.when(row != cur_row)
+            def _():
+                dma = pltpu.make_async_copy(npack_ref.at[row],
+                                            nrow_smem, nrow_sem)
+                dma.start()
+                dma.wait()
+
+            def nget(j):
+                return nrow_smem[off + j]
+
+            skip = nget(6).astype(jnp.int32)
+            col7 = nget(7).astype(jnp.int32)
+        else:  # "extract"
+            row = cur_row
+            nrow = nodes_ref[pl.ds(safe, 1), :]            # f32 [1, 8]
+            icols = jax.lax.bitcast_convert_type(nrow[:, 6:8], jnp.int32)
+            skip = icols[0, 0]
+            col7 = icols[0, 1]  # leaf -> cluster id; internal -> -(left+1)
+
+            def nget(j):
+                return nrow[0, j]
+
+        # Slab test: node bounds as true scalar loads (Mosaic broadcasts
         # scalars to vregs; [1,1]-vector broadcasts it does not — exp7).
         def axis(lo, hi, ro, iv):
-            q0 = (nrow[0, lo] - ro) * iv
-            q1 = (nrow[0, hi] - ro) * iv
+            q0 = (nget(lo) - ro) * iv
+            q1 = (nget(hi) - ro) * iv
             return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
 
         e0, x0 = axis(0, 3, rox, ivx)
@@ -175,39 +202,56 @@ def _trace_kernel(num_ref, nodes_ref, clusters_ref,
             mt_ref[:] = mt
 
         nxt = jnp.where(anyhit & (col7 < 0), -col7 - jnp.int32(1), skip)
-        return jnp.where(valid, nxt, node)
+        return jnp.where(valid, nxt, node), row
 
-    def body(node):
+    def body(carry):
         for _ in range(TRACE_UNROLL):
-            node = step(node)
-        return node
+            carry = step(carry)
+        return carry
 
-    jax.lax.while_loop(cond, body, node0)
+    jax.lax.while_loop(cond, body, (node0, jnp.int32(-1)))
 
 
 @functools.partial(jax.jit, static_argnames=("sublanes", "t_min", "t_max",
                                              "det_eps", "flip_normals",
-                                             "interpret"))
+                                             "interpret", "node_src"))
 def _trace_call(num_nodes, nodes, clusters, comps, sublanes,
-                t_min, t_max, det_eps, flip_normals, interpret):
+                t_min, t_max, det_eps, flip_normals, interpret, node_src):
     rows = comps[0].shape[0]
     grid = rows // sublanes
     block = pl.BlockSpec((sublanes, BLOCK_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table, on-chip
 
+    if node_src == "pack":
+        # Derived packed layout: 16 nodes per 128-float row, links
+        # converted from bitcast-i32 to exact float ints (node/cluster
+        # counts < 2^24). Rebuilt per call — a [M,8] elementwise op, noise
+        # next to traversal; keeps FastScene single-source.
+        m = nodes.shape[0]
+        mpad = -(-m // 16) * 16
+        links_f = jax.lax.bitcast_convert_type(
+            nodes[:, 6:8], jnp.int32).astype(jnp.float32)
+        flat = jnp.concatenate([nodes[:, :6], links_f], axis=1)
+        npack = jnp.zeros((mpad, 8), jnp.float32).at[:m].set(
+            flat).reshape(mpad // 16, 128)
+    else:
+        npack = jnp.zeros((8, 128), jnp.float32)  # unused placeholder
+
     kernel = functools.partial(
         _trace_kernel, t_min=t_min, t_max=t_max, det_eps=det_eps,
-        flip_normals=flip_normals)
+        flip_normals=flip_normals, node_src=node_src)
     out = jax.ShapeDtypeStruct((rows, BLOCK_LANES), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  resident, resident] + [block] * 7,
+                  resident, resident, resident] + [block] * 7,
         out_shape=(out,) * 8,
         out_specs=(block,) * 8,
-        scratch_shapes=[pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
+        scratch_shapes=[pltpu.SMEM((128,), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
@@ -217,7 +261,7 @@ def _trace_call(num_nodes, nodes, clusters, comps, sublanes,
             # (hoisted operands get VMEM-scoped — measured, exp9).
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(num_nodes, nodes, clusters, *comps)
+    )(num_nodes, nodes, npack, clusters, *comps)
 
 
 def pick_tile(h: int, w: int, block: int = 0):
@@ -238,14 +282,20 @@ def pick_tile(h: int, w: int, block: int = 0):
 def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
                     cfg: RenderConfig,
                     interpret: bool | None = None,
-                    sublanes: int = 0) -> TraversalResult:
+                    sublanes: int = 0,
+                    node_src: str | None = None) -> TraversalResult:
     """Closest-hit for flat [P] SoA rays, P a multiple of the tile size
     (``sublanes``*128 rays; 0 = PRIMARY_SUBLANES default).
 
     Consecutive tile-sized groups should be spatially coherent (the caller
     orders primaries tile-major); correctness does not depend on it.
+    ``node_src``: "pack" (default) fetches node rows via change-detected
+    SMEM DMAs from a 16-node packed table; "extract" reads bounds as VMEM
+    lane extracts (RAYTPU_NODE_SRC overrides the default for A/B).
     """
     sublanes = sublanes or PRIMARY_SUBLANES
+    if node_src is None:
+        node_src = _os.environ.get("RAYTPU_NODE_SRC", "pack")
     block = sublanes * BLOCK_LANES
     p = ray_o[0].shape[0]
     if p % block:
@@ -262,6 +312,6 @@ def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
     outs = _trace_call(num, scene.nodes8, scene.clusters, comps, sublanes,
                        float(cfg.t_min), float(cfg.t_max),
                        float(cfg.det_eps),
-                       cfg.shading != "fixed_light", interpret)
+                       cfg.shading != "fixed_light", interpret, node_src)
     t, nx, ny, nz, ar, ag, ab, mt = (o.reshape(p) for o in outs)
     return TraversalResult(t, t < cfg.t_max, (nx, ny, nz), (ar, ag, ab), mt)

@@ -6,12 +6,12 @@ the XLA megakernel (kernels/packet.py) emulates that with lockstep masking
 and pays HBM-gather rates for every node fetch. Here each bounce is a
 *round*:
 
-  1. sort rays by a u32 key ``dead | direction-octant | morton9(origin)``
-     (argsort 0.11 ms + 16-col permute ~0.7 ms at 184k rays — measured,
-     exp9). Sorting buys two things at once: spatially-and-directionally
-     coherent 1024-ray tiles for the per-tile union walk, and dead rays
-     packed at the tail so whole-dead tiles exit the Pallas grid in one
-     step.
+  1. sort rays by a u32 key (default: 6-way position+direction bit
+     interleave — see sort_key; argsort 0.11 ms + 16-col permute ~0.7 ms
+     at 184k rays, exp9). Sorting buys two things at once: spatially-and-
+     directionally coherent tiles for the per-tile union walk, and dead
+     rays packed at the tail so whole-dead tiles exit the Pallas grid in
+     one step.
   2. traverse with the VMEM-resident Pallas kernel (kernels/pallas_trace).
   3. shade in XLA (masked elementwise + RNG; kernels/tracer.shade).
 
@@ -25,6 +25,8 @@ results match kernels/tracer.render_linear to float precision.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +57,34 @@ def _part1by2(v):
     return v
 
 
-def sort_key(ray_o, ray_d, alive, smin, smax):
-    """u32 round key: dead(1) | octant(3) | morton 9 bits/axis (27).
+def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5"):
+    """u32 round key; dead rays get the top bit so they sort to the tail.
+
+    ``pd5`` (default): 6-way bit interleave of position+direction, 5 bits
+    per channel — groups rays that are close in *both* origin and
+    direction, which is what the per-tile union walk needs (exp8b: the
+    8-bit variant measured 283 union iters/live-K vs 322 for
+    ``oct_morton``'s octant|morton9).
 
     smin/smax: per-axis scene bounds (dynamic scalars, the BVH root box).
-    Dead rays get the top bit so they sort to the tail.
     """
+    dead = (~alive).astype(jnp.uint32) << jnp.uint32(31)
+    if mode == "pd5":
+        chans = []
+        for ax in range(3):
+            span = jnp.maximum(smax[ax] - smin[ax], 1e-6)
+            chans.append(jnp.clip((ray_o[ax] - smin[ax]) / span * 31.0,
+                                  0.0, 31.0).astype(jnp.uint32))
+        for ax in range(3):
+            chans.append(jnp.clip((ray_d[ax] + 1.0) * 15.5,
+                                  0.0, 31.0).astype(jnp.uint32))
+        code = jnp.uint32(0)
+        for b in range(5):
+            for i, c in enumerate(chans):
+                code = code | (((c >> jnp.uint32(b)) & jnp.uint32(1))
+                               << jnp.uint32(6 * b + i))
+        return dead | code
+    # oct_morton: octant(3) | morton 9 bits/axis (27)
     octant = ((ray_d[0] > 0).astype(jnp.uint32)
               | ((ray_d[1] > 0).astype(jnp.uint32) << 1)
               | ((ray_d[2] > 0).astype(jnp.uint32) << 2))
@@ -71,7 +95,6 @@ def sort_key(ray_o, ray_d, alive, smin, smax):
                      0.0, 511.0).astype(jnp.uint32)
         morton = morton | (_part1by2(q) << jnp.uint32(ax))
     morton = morton & jnp.uint32((1 << 27) - 1)
-    dead = (~alive).astype(jnp.uint32) << jnp.uint32(31)
     return dead | (octant << jnp.uint32(28)) | morton
 
 
@@ -105,6 +128,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
+    key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
 
     out = (jnp.zeros((p,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
@@ -113,7 +137,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays):
         """Sort -> pallas traverse -> shade. Returns advanced state in
         sorted order."""
-        key = sort_key(ray_o, ray_d, alive, smin, smax)
+        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)           # [w, 12]
@@ -172,7 +196,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         # Shrink: one more sort packs live rays into the prefix (the while
         # cond guaranteed live <= next_width). The dead tail deposits and
         # is dropped.
-        key = sort_key(ray_o, ray_d, alive, smin, smax)
+        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)

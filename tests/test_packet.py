@@ -119,6 +119,26 @@ def test_pallas_b0_matches_megakernel(monkeypatch):
     assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
 
 
+def test_pallas_b0_padded_raster_fallback(monkeypatch):
+    """Frames that don't tile (120x40: no 4096-ray pixel tile divides, ray
+    count not a BLOCK multiple) must still run the Pallas path via the
+    raster-order + dead-ray padding fallback, matching the megakernel."""
+    w, h = 120, 40
+    _, fast_scene = _scenes(0.0, 1.0)
+    cfg = RenderConfig(width=w, height=h, rng_mode="reference",
+                       kernel="packet", max_bounces=4)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=w / h)
+    uni = cam.uniforms()
+    monkeypatch.setenv("RAYTPU_B0", "mega")
+    a, stats_a = render_linear_fast(fast_scene, uni, cfg)
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    b, stats_b = render_linear_fast(fast_scene, uni, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
+
+
 def test_tile_packet_b0_matches_megakernel(monkeypatch):
     """A/B: the RAYTPU_B0=packet tile phase must agree with the default
     megakernel primaries path (same strict closest-t semantics)."""

@@ -45,24 +45,27 @@ def _render(scene, b0, bounce_path, monkeypatch, w=128, h=128, bounces=6):
 
 
 def test_wavefront_matches_megakernel(small_scene, monkeypatch):
-    """128x128 = 16384 rays -> two width levels (16384, 8192): exercises
+    """256x128 = 32768 rays -> two width levels (32768, 16384): exercises
     rounds, the shrink slice, and tail deposits."""
-    ref, rays_ref = _render(small_scene, "pallas", "mega", monkeypatch)
-    wave, rays_wave = _render(small_scene, "pallas", "wave", monkeypatch)
+    ref, rays_ref = _render(small_scene, "pallas", "mega", monkeypatch,
+                            w=256, h=128)
+    wave, rays_wave = _render(small_scene, "pallas", "wave", monkeypatch,
+                              w=256, h=128)
     np.testing.assert_allclose(wave, ref, atol=2e-5)
     assert rays_wave == rays_ref
 
 
 def test_wavefront_single_level(small_scene, monkeypatch):
-    """64x128 = 8192 rays = MIN_WIDTH: single level, no shrink."""
+    """128x128 = 16384 rays = MIN_WIDTH: single level, no shrink."""
     ref, _ = _render(small_scene, "pallas", "mega", monkeypatch,
-                     w=128, h=64, bounces=4)
+                     w=128, h=128, bounces=4)
     wave, _ = _render(small_scene, "pallas", "wave", monkeypatch,
-                      w=128, h=64, bounces=4)
+                      w=128, h=128, bounces=4)
     np.testing.assert_allclose(wave, ref, atol=2e-5)
 
 
-def test_sort_key_orders_dead_last():
+@pytest.mark.parametrize("mode", ["pd5", "oct_morton"])
+def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
 
     n = 64
@@ -72,16 +75,23 @@ def test_sort_key_orders_dead_last():
     rd = tuple(jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32))
                for _ in range(3))
     alive = jnp.asarray(rng.uniform(size=n) < 0.5)
-    key = np.asarray(sort_key(ro, rd, alive,
-                              (jnp.float32(-5),) * 3, (jnp.float32(5),) * 3))
+    key = np.asarray(sort_key(ro, rd, alive, (jnp.float32(-5),) * 3,
+                              (jnp.float32(5),) * 3, mode))
     order = np.argsort(key)
     sorted_alive = np.asarray(alive)[order]
     first_dead = np.argmax(~sorted_alive) if (~sorted_alive).any() else n
     assert not sorted_alive[first_dead:].any()
-    # octant is the top non-dead key field
-    octant = np.asarray(
-        (np.asarray(rd[0]) > 0).astype(np.uint32)
-        | ((np.asarray(rd[1]) > 0).astype(np.uint32) << 1)
-        | ((np.asarray(rd[2]) > 0).astype(np.uint32) << 2))
     live_sorted = order[:first_dead]
-    assert (np.diff(octant[live_sorted]) >= 0).all()
+    if mode == "oct_morton":
+        # octant is the top non-dead key field
+        octant = np.asarray(
+            (np.asarray(rd[0]) > 0).astype(np.uint32)
+            | ((np.asarray(rd[1]) > 0).astype(np.uint32) << 1)
+            | ((np.asarray(rd[2]) > 0).astype(np.uint32) << 2))
+        assert (np.diff(octant[live_sorted]) >= 0).all()
+    else:
+        # top interleave bit = direction-z top bit: dz>0 after dz<0
+        dz_pos = np.asarray(rd[2])[live_sorted] > 0.032  # q=16 boundary
+        dz_neg = np.asarray(rd[2])[live_sorted] < 0.0
+        first_pos = np.argmax(dz_pos) if dz_pos.any() else len(dz_pos)
+        assert not dz_neg[first_pos:].any()
