@@ -1,0 +1,55 @@
+"""Aggregate a jax.profiler chrome trace: device-op time by name prefix.
+
+Usage: python experiments/parse_trace.py /tmp/rtrace [top_n]
+"""
+import gzip
+import json
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+
+def main():
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/rtrace")
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    paths = sorted(root.rglob("*.trace.json.gz")) or sorted(
+        root.rglob("trace.json.gz"))
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {root}")
+    path = paths[-1]
+    print(f"# {path}")
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+
+    # Map pid/tid -> track name to keep only device compute tracks.
+    names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {pid for pid, n in names.items()
+                if "TPU" in n or "Device" in n or "device" in n}
+    print("# tracks:", {pid: names[pid] for pid in sorted(names)})
+
+    agg = defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        # strip trailing numeric suffixes: fusion.123 -> fusion
+        base = re.sub(r"[.\d]+$", "", name)
+        agg[base][0] += dur
+        agg[base][1] += 1
+        total += dur
+    print(f"# total device op time: {total:.1f} ms over "
+          f"{sum(c for _, c in agg.values())} events")
+    for name, (ms, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[
+            :top_n]:
+        print(f"{ms:9.2f} ms  x{cnt:5d}  {name}")
+
+
+if __name__ == "__main__":
+    main()
