@@ -1,0 +1,99 @@
+"""Binary BVH -> 4-wide BVH collapse (host side).
+
+The Pallas traversal pays per-*visit* scalar costs (node-row DMA wait,
+SMEM loads, loop overhead) while extra vector slab tests are nearly free
+(exp14). A 4-wide node tests 4 child boxes per visit for ~the cost of a
+binary node's 1, roughly halving visit counts (exp15: primaries 2.3x,
+sorted bounce-1 1.2x on the flagship scene).
+
+Collapse (the standard wide-BVH construction, cf. Wald et al., "Getting
+rid of packets"/'08-style SIMD BVHs): take a binary internal node's two
+children and repeatedly expand the largest-surface-area internal slot
+until 4 slots are filled or all are leaves.
+
+Layout: one BVH4 node = 64 floats = 4 children x [min(3) max(3) meta
+pad]; two nodes per 128-float row (the proven SMEM-DMA shape,
+kernels/pallas_trace.py). meta is a float-encoded exact int: > 0
+internal (bvh4 id + 1), < 0 leaf (-(cluster id + 1)), 0 empty slot.
+
+Reference analogue: the flat pre-order binary layout mirrors
+``BVHFlattener.java``; the 4-wide collapse has no reference counterpart
+(the GPU walks per-thread stacks, compute_dynamic_ray.comp:157).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NODE4_FLOATS = 64
+PACK_LANES = 128
+
+
+def collapse4(nodes8: np.ndarray, num_nodes: int):
+    """Collapse pre-order binary ``nodes8`` into BVH4 arrays.
+
+    Args:
+      nodes8: f32[M, 8] binary nodes — bounds + bitcast-i32 skip/col7
+        (col7 >= 0 leaf cluster id; < 0 -> left child = -(col7)-1).
+      num_nodes: valid prefix length.
+    Returns:
+      (packed f32[R, 128], n4): R = ceil(n4 / 2) rows, unpadded.
+    """
+    nodes = np.asarray(nodes8)[:num_nodes]
+    links = nodes[:, 6:8].view(np.int32)
+    skip, col7 = links[:, 0], links[:, 1]
+
+    def area(b):
+        d = np.maximum(b[3:6] - b[0:3], 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    out = []      # bvh4 id -> list of ('leaf'|'int', id, bounds)
+    b2q = {}      # binary internal id -> bvh4 id
+    pending = []
+
+    def create(b):
+        if b in b2q:
+            return b2q[b]
+        my = len(out)
+        b2q[b] = my
+        left = b + 1
+        slots = [left, skip[left]]
+        while len(slots) < 4:
+            best, best_a = -1, -1.0
+            for i, s in enumerate(slots):
+                if col7[s] < 0 and area(nodes[s]) > best_a:
+                    best, best_a = i, area(nodes[s])
+            if best < 0:
+                break
+            s = slots.pop(best)
+            slots.extend([s + 1, skip[s + 1]])
+        ent = []
+        for s in slots:
+            if col7[s] >= 0:
+                ent.append(("leaf", int(col7[s]), nodes[s, :6]))
+            else:
+                ent.append(("int", int(s), nodes[s, :6]))
+                pending.append(int(s))
+        out.append(ent)
+        return my
+
+    if col7[0] >= 0:
+        out.append([("leaf", int(col7[0]), nodes[0, :6])])
+    else:
+        create(0)
+        while pending:
+            create(pending.pop())
+
+    n4 = len(out)
+    arr = np.zeros((n4, NODE4_FLOATS), np.float32)
+    for qid, ent in enumerate(out):
+        for c, e in enumerate(ent):
+            base = 16 * c
+            arr[qid, base:base + 6] = e[2]
+            arr[qid, base + 6] = (-(e[1] + 1) if e[0] == "leaf"
+                                  else b2q[e[1]] + 1)
+        # remaining slots keep meta == 0 (empty)
+    rows = (n4 + 1) // 2
+    packed = np.zeros((rows, PACK_LANES), np.float32)
+    packed.reshape(rows * 2, NODE4_FLOATS)[:n4] = arr
+    return packed, n4

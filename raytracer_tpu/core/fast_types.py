@@ -32,12 +32,21 @@ CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128
 @_register
 @dataclasses.dataclass
 class FastScene:
-    """Device-resident packed scene for the packet tracer."""
+    """Device-resident packed scene for the packet tracer.
+
+    ``nodes4`` (optional) is the 4-wide collapse of the same tree
+    (bvh/bvh4.py): f32[Rpad, 128], two 64-float BVH4 nodes per row.
+    Host builds provide it (the Pallas traversal is ~2x faster on it);
+    the on-device LBVH rebuild leaves it None and traversal falls back
+    to the binary packed path.
+    """
 
     nodes8: Array        # f32[Mpad, 8]
     clusters: Array      # f32[Lpad, 128]
     num_nodes: Array     # i32 scalar
     num_triangles: Array  # i32 scalar
+    nodes4: Array | None = None   # f32[Rpad, 128] or None
+    num_nodes4: Array | None = None  # i32 scalar or None
 
     @property
     def node_capacity(self) -> int:

@@ -212,6 +212,189 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
     jax.lax.while_loop(cond, body, (node0, jnp.int32(-1)))
 
 
+def _trace4_kernel(num_ref, npack_ref, clusters_ref,
+                   rox_ref, roy_ref, roz_ref,
+                   rdx_ref, rdy_ref, rdz_ref, act_ref,
+                   t_ref, nx_ref, ny_ref, nz_ref,
+                   ar_ref, ag_ref, ab_ref, mt_ref,
+                   stack_smem, nrow_smem, nrow_sem, crow_smem, crow_sem,
+                   *, t_min, t_max, det_eps, flip_normals):
+    """4-wide traversal: SMEM stack of BVH4 ids, 4 child slab tests per
+    visit (extra vector work + reductions are ~free — exp14/15), leaf
+    children inline via the cluster-row DMA."""
+    rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
+    rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+    ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
+    active = act_ref[:] > 0.5
+
+    shape = rox.shape
+    t_ref[:] = jnp.full(shape, t_max, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    for ref in (nx_ref, ny_ref, nz_ref, ar_ref, ag_ref, ab_ref, mt_ref):
+        ref[:] = zero
+
+    stack_smem[0] = jnp.int32(0)
+    sp0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, cur_row = carry
+        sp = sp - 1
+        nid = stack_smem[sp]
+        row = nid // 2
+        base0 = (nid % 2) * 64
+
+        @pl.when(row != cur_row)
+        def _():
+            dma = pltpu.make_async_copy(npack_ref.at[row],
+                                        nrow_smem, nrow_sem)
+            dma.start()
+            dma.wait()
+
+        closest = t_ref[:]
+        any_c, meta_c, hit_c = [], [], []
+        for cc in range(4):
+            b = base0 + 16 * cc
+
+            def g(j, b=b):
+                return nrow_smem[b + j]
+
+            meta = g(6).astype(jnp.int32)
+            lo0 = (g(0) - rox) * ivx
+            hi0 = (g(3) - rox) * ivx
+            lo1 = (g(1) - roy) * ivy
+            hi1 = (g(4) - roy) * ivy
+            lo2 = (g(2) - roz) * ivz
+            hi2 = (g(5) - roz) * ivz
+            t_en = jnp.maximum(jnp.minimum(lo0, hi0),
+                               jnp.maximum(jnp.minimum(lo1, hi1),
+                                           jnp.minimum(lo2, hi2)))
+            t_ex = jnp.minimum(jnp.maximum(lo0, hi0),
+                               jnp.minimum(jnp.maximum(lo1, hi1),
+                                           jnp.maximum(lo2, hi2)))
+            hit = ((t_ex > t_en) & (t_ex > t_min)
+                   & (t_en < closest) & active)
+            hit_c.append(hit)
+            meta_c.append(meta)
+            any_c.append(jnp.any(hit) & (meta != 0))
+
+        for cc in range(4):
+            @pl.when(any_c[cc] & (meta_c[cc] < 0))
+            def _(cc=cc):
+                col7 = -meta_c[cc] - jnp.int32(1)
+                dma = pltpu.make_async_copy(clusters_ref.at[col7],
+                                            crow_smem, crow_sem)
+                dma.start()
+                dma.wait()
+                cl = t_ref[:]
+                nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+                ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
+                mt = mt_ref[:]
+                for k in range(CLUSTER_SIZE):
+                    b = k * TRI_STRIDE
+
+                    def s(j, b=b):
+                        return crow_smem[b + j]
+
+                    v0x, v0y, v0z = s(0), s(1), s(2)
+                    e1x, e1y, e1z = s(3) - v0x, s(4) - v0y, s(5) - v0z
+                    e2x, e2y, e2z = s(6) - v0x, s(7) - v0y, s(8) - v0z
+                    nrx = e1y * e2z - e1z * e2y
+                    nry = e1z * e2x - e1x * e2z
+                    nrz = e1x * e2y - e1y * e2x
+                    nlen = jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz)
+                    inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
+                    nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
+
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = ~((det > -det_eps) & (det < det_eps))
+                    invd = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                    u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                    tt = invd * (e2x * qx + e2y * qy + e2z * qz)
+                    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                    ok &= (u + v <= 1.0)
+                    ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+
+                    if flip_normals:
+                        flip = (rdx * nux + rdy * nuy + rdz * nuz) > 0.0
+                        sgn = jnp.where(flip, -1.0, 1.0)
+                    else:
+                        sgn = 1.0
+                    cl = jnp.where(ok, tt, cl)
+                    nx = jnp.where(ok, sgn * nux, nx)
+                    ny = jnp.where(ok, sgn * nuy, ny)
+                    nz = jnp.where(ok, sgn * nuz, nz)
+                    ar = jnp.where(ok, s(9), ar)
+                    ag = jnp.where(ok, s(10), ag)
+                    ab = jnp.where(ok, s(11), ab)
+                    mt = jnp.where(ok, s(12), mt)
+                t_ref[:] = cl
+                nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
+                ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
+                mt_ref[:] = mt
+
+        off = jnp.int32(0)
+        for cc in range(4):
+            push = any_c[cc] & (meta_c[cc] > 0)
+
+            @pl.when(push)
+            def _(cc=cc, off=off):
+                stack_smem[sp + off] = meta_c[cc] - jnp.int32(1)
+
+            off = off + push.astype(jnp.int32)
+
+        return sp + off, row
+
+    jax.lax.while_loop(cond, body, (sp0, jnp.int32(-1)))
+
+
+STACK4_CAP = 256  # >= 3 * max BVH4 depth + 1; 1 KB of SMEM (2 KB proven)
+
+
+@functools.partial(jax.jit, static_argnames=("sublanes", "t_min", "t_max",
+                                             "det_eps", "flip_normals",
+                                             "interpret"))
+def _trace4_call(num_nodes4, nodes4, clusters, comps, sublanes,
+                 t_min, t_max, det_eps, flip_normals, interpret):
+    rows = comps[0].shape[0]
+    grid = rows // sublanes
+    block = pl.BlockSpec((sublanes, BLOCK_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _trace4_kernel, t_min=t_min, t_max=t_max, det_eps=det_eps,
+        flip_normals=flip_normals)
+    out = jax.ShapeDtypeStruct((rows, BLOCK_LANES), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident] + [block] * 7,
+        out_shape=(out,) * 8,
+        out_specs=(block,) * 8,
+        scratch_shapes=[pltpu.SMEM((STACK4_CAP,), jnp.int32),
+                        pltpu.SMEM((128,), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes4, nodes4, clusters, *comps)
+
+
 @functools.partial(jax.jit, static_argnames=("sublanes", "t_min", "t_max",
                                              "det_eps", "flip_normals",
                                              "interpret", "node_src"))
@@ -307,11 +490,22 @@ def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
     comps = tuple(c.reshape(rows, BLOCK_LANES)
                   for c in (*ray_o, *ray_d)) + (
         active.astype(jnp.float32).reshape(rows, BLOCK_LANES),)
-    num = jnp.asarray(scene.num_nodes, jnp.int32).reshape(1)
 
-    outs = _trace_call(num, scene.nodes8, scene.clusters, comps, sublanes,
-                       float(cfg.t_min), float(cfg.t_max),
-                       float(cfg.det_eps),
-                       cfg.shading != "fixed_light", interpret, node_src)
+    use_bvh4 = (getattr(scene, "nodes4", None) is not None
+                and node_src != "extract"
+                and _os.environ.get("RAYTPU_TRAVERSE", "bvh4") == "bvh4")
+    if use_bvh4:
+        num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+        outs = _trace4_call(num4, scene.nodes4, scene.clusters, comps,
+                            sublanes, float(cfg.t_min), float(cfg.t_max),
+                            float(cfg.det_eps),
+                            cfg.shading != "fixed_light", interpret)
+    else:
+        num = jnp.asarray(scene.num_nodes, jnp.int32).reshape(1)
+        outs = _trace_call(num, scene.nodes8, scene.clusters, comps,
+                           sublanes, float(cfg.t_min), float(cfg.t_max),
+                           float(cfg.det_eps),
+                           cfg.shading != "fixed_light", interpret,
+                           node_src)
     t, nx, ny, nz, ar, ag, ab, mt = (o.reshape(p) for o in outs)
     return TraversalResult(t, t < cfg.t_max, (nx, ny, nz), (ar, ag, ab), mt)

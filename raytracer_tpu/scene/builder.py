@@ -249,6 +249,17 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
                 row[:count, 12] = ordered_m[start:start + count, 3]
         num_nodes = m
 
+    # 4-wide collapse of the same tree (bvh/bvh4.py) — the Pallas
+    # traversal's fast layout. Row capacity is bucketed like the binary
+    # table so scene edits inside a bucket reuse the compiled executable.
+    from raytracer_tpu.bvh.bvh4 import collapse4
+
+    nodes4, n4 = collapse4(nodes8, num_nodes)
+    r4cap = _bucket(nodes4.shape[0])
+    nodes4 = np.concatenate(
+        [nodes4, np.zeros((r4cap - nodes4.shape[0], nodes4.shape[1]),
+                          np.float32)]) if nodes4.shape[0] < r4cap else nodes4
+
     put = (lambda x: jax.device_put(jnp.asarray(x), device)) if device \
         else (lambda x: jnp.asarray(x))
     fs = FastScene(
@@ -256,6 +267,8 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
         clusters=put(clusters),
         num_nodes=put(np.int32(num_nodes)),
         num_triangles=put(np.int32(n)),
+        nodes4=put(nodes4),
+        num_nodes4=put(np.int32(n4)),
     )
     _log.info("fast scene packed: %d tris, %d nodes in %.1f ms",
               n, num_nodes, (time.perf_counter() - t0) * 1e3)

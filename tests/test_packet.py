@@ -119,6 +119,37 @@ def test_pallas_b0_matches_megakernel(monkeypatch):
     assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
 
 
+def test_bvh4_matches_binary_traversal(monkeypatch):
+    """The 4-wide collapse (bvh/bvh4.py + _trace4_kernel) must agree with
+    the binary packed-row traversal through the production entry point
+    (strict closest-t makes the result order-independent)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.kernels.pallas_trace import pallas_traverse
+
+    _, fast_scene = _scenes(0.0, 1.0)
+    assert fast_scene.nodes4 is not None
+    P = 2048
+    rng = np.random.default_rng(3)
+    o = tuple(jnp.asarray(rng.uniform(-20, 20, P).astype(np.float32))
+              for _ in range(3))
+    d0 = rng.normal(size=(P, 3)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    d = tuple(jnp.asarray(d0[:, i]) for i in range(3))
+    alive = jnp.asarray(rng.uniform(size=P) < 0.9)
+    cfg = RenderConfig(width=16, height=128)
+    monkeypatch.setenv("RAYTPU_TRAVERSE", "binary")
+    a = pallas_traverse(fast_scene, o, d, alive, cfg, interpret=True,
+                        sublanes=8)
+    monkeypatch.setenv("RAYTPU_TRAVERSE", "bvh4")
+    b = pallas_traverse(fast_scene, o, d, alive, cfg, interpret=True,
+                        sublanes=8)
+    for x, y in [(a.closest_t, b.closest_t), (a.normal[0], b.normal[0]),
+                 (a.mat_albedo[2], b.mat_albedo[2]),
+                 (a.mat_type, b.mat_type)]:
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_pallas_b0_padded_raster_fallback(monkeypatch):
     """Frames that don't tile (120x40: no 4096-ray pixel tile divides, ray
     count not a BLOCK multiple) must still run the Pallas path via the
