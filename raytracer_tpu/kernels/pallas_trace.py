@@ -233,26 +233,27 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
     for ref in (nx_ref, ny_ref, nz_ref, ar_ref, ag_ref, ab_ref, mt_ref):
         ref[:] = zero
 
-    stack_smem[0] = jnp.int32(0)
-    sp0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+    # Prefetching loop shape (exp16 "pf", ~9% faster than DMA-at-top):
+    # after the pushes, the next stack top is known, so its node-row DMA
+    # starts before the leaf phase and overlaps the cluster work + loop
+    # backedge; the wait sits at the next iteration's top.
+    boot = pltpu.make_async_copy(npack_ref.at[0], nrow_smem, nrow_sem)
+    boot.start()
+    boot.wait()
+    have0 = jnp.any(active)
 
     def cond(carry):
-        return carry[0] > 0
+        return carry[0]
 
     def body(carry):
-        sp, cur_row = carry
-        sp = sp - 1
-        nid = stack_smem[sp]
-        row = nid // 2
-        base0 = (nid % 2) * 64
+        have, nid, sp, resident, pending = carry
 
-        @pl.when(row != cur_row)
+        @pl.when(pending)
         def _():
-            dma = pltpu.make_async_copy(npack_ref.at[row],
-                                        nrow_smem, nrow_sem)
-            dma.start()
-            dma.wait()
+            pltpu.make_async_copy(npack_ref.at[resident], nrow_smem,
+                                  nrow_sem).wait()
 
+        base0 = (nid % 2) * 64
         closest = t_ref[:]
         any_c, meta_c, hit_c = [], [], []
         for cc in range(4):
@@ -279,6 +280,29 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             hit_c.append(hit)
             meta_c.append(meta)
             any_c.append(jnp.any(hit) & (meta != 0))
+
+        # Pushes + next-top prefetch BEFORE the leaf phase: nrow_smem is
+        # dead once the slab loop has extracted bounds and metas.
+        off = jnp.int32(0)
+        for cc in range(4):
+            push = any_c[cc] & (meta_c[cc] > 0)
+
+            @pl.when(push)
+            def _(cc=cc, off=off):
+                stack_smem[sp + off] = meta_c[cc] - jnp.int32(1)
+
+            off = off + push.astype(jnp.int32)
+        sp2 = sp + off
+        have2 = sp2 > 0
+        sp3 = jnp.maximum(sp2 - 1, 0)
+        nid2 = stack_smem[sp3]
+        row2 = nid2 // 2
+        pend2 = have2 & (row2 != resident)
+
+        @pl.when(pend2)
+        def _():
+            pltpu.make_async_copy(npack_ref.at[row2], nrow_smem,
+                                  nrow_sem).start()
 
         for cc in range(4):
             @pl.when(any_c[cc] & (meta_c[cc] < 0))
@@ -343,19 +367,10 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                 ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
                 mt_ref[:] = mt
 
-        off = jnp.int32(0)
-        for cc in range(4):
-            push = any_c[cc] & (meta_c[cc] > 0)
+        return have2, nid2, sp3, row2, pend2
 
-            @pl.when(push)
-            def _(cc=cc, off=off):
-                stack_smem[sp + off] = meta_c[cc] - jnp.int32(1)
-
-            off = off + push.astype(jnp.int32)
-
-        return sp + off, row
-
-    jax.lax.while_loop(cond, body, (sp0, jnp.int32(-1)))
+    jax.lax.while_loop(cond, body, (have0, jnp.int32(0), jnp.int32(0),
+                                    jnp.int32(0), jnp.bool_(False)))
 
 
 STACK4_CAP = 256  # >= 3 * max BVH4 depth + 1; 1 KB of SMEM (2 KB proven)
