@@ -29,15 +29,17 @@ NODE4_FLOATS = 64
 PACK_LANES = 128
 
 
-def collapse4(nodes8: np.ndarray, num_nodes: int):
-    """Collapse pre-order binary ``nodes8`` into BVH4 arrays.
+def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
+    """Collapse pre-order binary ``nodes8`` into BVH-``width`` arrays.
 
     Args:
       nodes8: f32[M, 8] binary nodes — bounds + bitcast-i32 skip/col7
         (col7 >= 0 leaf cluster id; < 0 -> left child = -(col7)-1).
       num_nodes: valid prefix length.
+      width: children per wide node (4 -> two 64-float nodes per row,
+        8 -> one 128-float node per row).
     Returns:
-      (packed f32[R, 128], n4): R = ceil(n4 / 2) rows, unpadded.
+      (packed f32[R, 128], n_wide): R = ceil(n_wide * width / 16) rows.
     """
     nodes = np.asarray(nodes8)[:num_nodes]
     links = nodes[:, 6:8].view(np.int32)
@@ -58,7 +60,7 @@ def collapse4(nodes8: np.ndarray, num_nodes: int):
         b2q[b] = my
         left = b + 1
         slots = [left, skip[left]]
-        while len(slots) < 4:
+        while len(slots) < width:
             best, best_a = -1, -1.0
             for i, s in enumerate(slots):
                 if col7[s] < 0 and area(nodes[s]) > best_a:
@@ -85,7 +87,8 @@ def collapse4(nodes8: np.ndarray, num_nodes: int):
             create(pending.pop())
 
     n4 = len(out)
-    arr = np.zeros((n4, NODE4_FLOATS), np.float32)
+    node_floats = 16 * width
+    arr = np.zeros((n4, node_floats), np.float32)
     for qid, ent in enumerate(out):
         for c, e in enumerate(ent):
             base = 16 * c
@@ -93,7 +96,8 @@ def collapse4(nodes8: np.ndarray, num_nodes: int):
             arr[qid, base + 6] = (-(e[1] + 1) if e[0] == "leaf"
                                   else b2q[e[1]] + 1)
         # remaining slots keep meta == 0 (empty)
-    rows = (n4 + 1) // 2
+    per_row = PACK_LANES // node_floats  # 2 for width 4, 1 for width 8
+    rows = -(-n4 // per_row)
     packed = np.zeros((rows, PACK_LANES), np.float32)
-    packed.reshape(rows * 2, NODE4_FLOATS)[:n4] = arr
+    packed.reshape(rows * per_row, node_floats)[:n4] = arr
     return packed, n4

@@ -165,12 +165,11 @@ class RenderConfig:
     shading: str = "path"
     # Frames render as horizontal bands of at most ~this many rays via one
     # lax.scan (bounded peak memory; band shapes stay in the
-    # backend-validated zone, <= ~256k rays per dispatch). Bigger bands
-    # amortize the per-band wavefront round costs and sort whole-band ray
-    # populations into more coherent tiles; 196608 puts 720p at 5 bands of
-    # 184320 rays (the band size the perf experiments validated). 0
-    # disables banding.
-    band_rays: int = 196608
+    # backend-validated zone). Bigger bands amortize the per-band
+    # wavefront round costs; 393216 puts 720p at 3 bands of 307200 rays
+    # (measured fastest; single-band 921600 also works but is ~1.5%
+    # slower). 0 disables banding.
+    band_rays: int = 393216
     # Fuse accumulate+exposure+gamma+u8 as a Pallas kernel (interpret mode
     # off-TPU). Plain XLA ops otherwise.
     pallas_tonemap: bool = False

@@ -212,6 +212,9 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
     jax.lax.while_loop(cond, body, (node0, jnp.int32(-1)))
 
 
+WIDE = 8  # children per wide-BVH node: one node = one 128-float row
+
+
 def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                    rox_ref, roy_ref, roz_ref,
                    rdx_ref, rdy_ref, rdz_ref, act_ref,
@@ -219,9 +222,9 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                    ar_ref, ag_ref, ab_ref, mt_ref,
                    stack_smem, nrow_smem, nrow_sem, crow_smem, crow_sem,
                    *, t_min, t_max, det_eps, flip_normals):
-    """4-wide traversal: SMEM stack of BVH4 ids, 4 child slab tests per
-    visit (extra vector work + reductions are ~free — exp14/15), leaf
-    children inline via the cluster-row DMA."""
+    """Wide-BVH traversal: SMEM stack of node ids, WIDE child slab tests
+    per visit (extra vector work + reductions are ~free — exp14/15/17),
+    leaf children inline via overlapped cluster-row DMAs."""
     rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
     rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
     ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
@@ -253,11 +256,10 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             pltpu.make_async_copy(npack_ref.at[resident], nrow_smem,
                                   nrow_sem).wait()
 
-        base0 = (nid % 2) * 64
         closest = t_ref[:]
         any_c, meta_c, hit_c = [], [], []
-        for cc in range(4):
-            b = base0 + 16 * cc
+        for cc in range(WIDE):
+            b = 16 * cc
 
             def g(j, b=b):
                 return nrow_smem[b + j]
@@ -284,7 +286,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
         # Pushes + next-top prefetch BEFORE the leaf phase: nrow_smem is
         # dead once the slab loop has extracted bounds and metas.
         off = jnp.int32(0)
-        for cc in range(4):
+        for cc in range(WIDE):
             push = any_c[cc] & (meta_c[cc] > 0)
 
             @pl.when(push)
@@ -296,7 +298,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
         have2 = sp2 > 0
         sp3 = jnp.maximum(sp2 - 1, 0)
         nid2 = stack_smem[sp3]
-        row2 = nid2 // 2
+        row2 = nid2  # one node per packed row at WIDE=8
         pend2 = have2 & (row2 != resident)
 
         @pl.when(pend2)
@@ -304,68 +306,87 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             pltpu.make_async_copy(npack_ref.at[row2], nrow_smem,
                                   nrow_sem).start()
 
-        for cc in range(4):
-            @pl.when(any_c[cc] & (meta_c[cc] < 0))
-            def _(cc=cc):
-                col7 = -meta_c[cc] - jnp.int32(1)
-                dma = pltpu.make_async_copy(clusters_ref.at[col7],
-                                            crow_smem, crow_sem)
-                dma.start()
-                dma.wait()
-                cl = t_ref[:]
-                nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
-                ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
-                mt = mt_ref[:]
-                for k in range(CLUSTER_SIZE):
-                    b = k * TRI_STRIDE
+        # Leaf phase, two passes: start every hit leaf child's cluster
+        # DMA first (per-child SMEM slots), then wait+process — child 0's
+        # triangle tests overlap children 1..3's DMAs (and all of them
+        # overlap the next-node prefetch above).
+        for group in range(0, WIDE, 4):
+            # Groups of 4: start the group's DMAs (per-child slots), then
+            # wait+process — slots are reused across groups, so a group's
+            # processing must finish before the next group's starts.
+            for cc in range(group, group + 4):
+                @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                def _(cc=cc):
+                    col7 = -meta_c[cc] - jnp.int32(1)
+                    pltpu.make_async_copy(clusters_ref.at[col7],
+                                          crow_smem.at[cc % 4],
+                                          crow_sem.at[cc % 4]).start()
 
-                    def s(j, b=b):
-                        return crow_smem[b + j]
+            for cc in range(group, group + 4):
+                @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                def _(cc=cc):
+                    col7 = -meta_c[cc] - jnp.int32(1)
+                    pltpu.make_async_copy(clusters_ref.at[col7],
+                                          crow_smem.at[cc % 4],
+                                          crow_sem.at[cc % 4]).wait()
+                    cl = t_ref[:]
+                    nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+                    ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
+                    mt = mt_ref[:]
+                    for k in range(CLUSTER_SIZE):
+                        b = k * TRI_STRIDE
 
-                    v0x, v0y, v0z = s(0), s(1), s(2)
-                    e1x, e1y, e1z = s(3) - v0x, s(4) - v0y, s(5) - v0z
-                    e2x, e2y, e2z = s(6) - v0x, s(7) - v0y, s(8) - v0z
-                    nrx = e1y * e2z - e1z * e2y
-                    nry = e1z * e2x - e1x * e2z
-                    nrz = e1x * e2y - e1y * e2x
-                    nlen = jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz)
-                    inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
-                    nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
+                        def s(j, b=b, cc=cc):
+                            return crow_smem[cc % 4, b + j]
 
-                    pvx = rdy * e2z - rdz * e2y
-                    pvy = rdz * e2x - rdx * e2z
-                    pvz = rdx * e2y - rdy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = ~((det > -det_eps) & (det < det_eps))
-                    invd = 1.0 / jnp.where(ok, det, 1.0)
-                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-                    u = invd * (sx * pvx + sy * pvy + sz * pvz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = invd * (rdx * qx + rdy * qy + rdz * qz)
-                    tt = invd * (e2x * qx + e2y * qy + e2z * qz)
-                    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                    ok &= (u + v <= 1.0)
-                    ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+                        v0x, v0y, v0z = s(0), s(1), s(2)
+                        e1x, e1y, e1z = (s(3) - v0x, s(4) - v0y,
+                                         s(5) - v0z)
+                        e2x, e2y, e2z = (s(6) - v0x, s(7) - v0y,
+                                         s(8) - v0z)
+                        nrx = e1y * e2z - e1z * e2y
+                        nry = e1z * e2x - e1x * e2z
+                        nrz = e1x * e2y - e1y * e2x
+                        nlen = jnp.sqrt(nrx * nrx + nry * nry
+                                        + nrz * nrz)
+                        inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
+                        nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
 
-                    if flip_normals:
-                        flip = (rdx * nux + rdy * nuy + rdz * nuz) > 0.0
-                        sgn = jnp.where(flip, -1.0, 1.0)
-                    else:
-                        sgn = 1.0
-                    cl = jnp.where(ok, tt, cl)
-                    nx = jnp.where(ok, sgn * nux, nx)
-                    ny = jnp.where(ok, sgn * nuy, ny)
-                    nz = jnp.where(ok, sgn * nuz, nz)
-                    ar = jnp.where(ok, s(9), ar)
-                    ag = jnp.where(ok, s(10), ag)
-                    ab = jnp.where(ok, s(11), ab)
-                    mt = jnp.where(ok, s(12), mt)
-                t_ref[:] = cl
-                nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
-                ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
-                mt_ref[:] = mt
+                        pvx = rdy * e2z - rdz * e2y
+                        pvy = rdz * e2x - rdx * e2z
+                        pvz = rdx * e2y - rdy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = ~((det > -det_eps) & (det < det_eps))
+                        invd = 1.0 / jnp.where(ok, det, 1.0)
+                        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                        u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                        tt = invd * (e2x * qx + e2y * qy + e2z * qz)
+                        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        ok &= (u + v <= 1.0)
+                        ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+
+                        if flip_normals:
+                            flip = (rdx * nux + rdy * nuy
+                                    + rdz * nuz) > 0.0
+                            sgn = jnp.where(flip, -1.0, 1.0)
+                        else:
+                            sgn = 1.0
+                        cl = jnp.where(ok, tt, cl)
+                        nx = jnp.where(ok, sgn * nux, nx)
+                        ny = jnp.where(ok, sgn * nuy, ny)
+                        nz = jnp.where(ok, sgn * nuz, nz)
+                        ar = jnp.where(ok, s(9), ar)
+                        ag = jnp.where(ok, s(10), ag)
+                        ab = jnp.where(ok, s(11), ab)
+                        mt = jnp.where(ok, s(12), mt)
+                    t_ref[:] = cl
+                    nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
+                    ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
+                    mt_ref[:] = mt
 
         return have2, nid2, sp3, row2, pend2
 
@@ -401,9 +422,9 @@ def _trace4_call(num_nodes4, nodes4, clusters, comps, sublanes,
         scratch_shapes=[pltpu.SMEM((STACK4_CAP,), jnp.int32),
                         pltpu.SMEM((128,), jnp.float32),
                         pltpu.SemaphoreType.DMA,
-                        pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
+                        pltpu.SMEM((4, CLUSTER_SIZE * TRI_STRIDE),
                                    jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA((4,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

@@ -254,7 +254,7 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
     # table so scene edits inside a bucket reuse the compiled executable.
     from raytracer_tpu.bvh.bvh4 import collapse4
 
-    nodes4, n4 = collapse4(nodes8, num_nodes)
+    nodes4, n4 = collapse4(nodes8, num_nodes, width=8)
     r4cap = _bucket(nodes4.shape[0])
     nodes4 = np.concatenate(
         [nodes4, np.zeros((r4cap - nodes4.shape[0], nodes4.shape[1]),
