@@ -1,8 +1,14 @@
-"""exp17: BVH8 — one wide node per 128-float row, 8 slab tests/visit.
+"""exp18: does near-first push ordering pay on BVH8?
 
-If extra slab tests + reductions stay free (exp14), halving visits again
-over BVH4 wins; if 8 slabs exceed the DMA+scalar budget per visit, it
-washes. Prefetching loop shape (exp16 pf). Sweeps bounce sublanes.
+Processing near subtrees first tightens closest-t before far subtrees
+are popped, culling whole visits (`t_en < closest` at test time). The
+vector-swap version crashed Mosaic (exp16); here ordering touches only
+SCALARS: per child, key = centroid . mean-tile-direction (mean computed
+once per tile); a 19-comparator Batcher network sorts (key, meta, push)
+triples; pushes go far-to-near so the nearest pops first.
+
+  base   exp17 BVH8 kernel (build-order pushes)
+  near   scalar-sorted pushes
 """
 import sys, time, os, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,8 +30,15 @@ LANES = 128
 STACK_CAP = 256
 WIDTH = 8
 
+# Batcher odd-even merge sort network for 8 elements (19 comparators).
+NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+        (2, 4), (3, 5), (3, 4)]
 
-def make_kernel():
+
+def make_kernel(variant):
+    near = variant == "near"
+
     def kernel(num_ref, npack_ref, clusters_ref,
                rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                act_ref, t_ref,
@@ -37,6 +50,11 @@ def make_kernel():
         active = act_ref[:] > 0.5
         shape = rox.shape
         t_ref[:] = jnp.full(shape, t_max, jnp.float32)
+
+        if near:
+            mdx = jnp.sum(jnp.where(active, rdx, 0.0))
+            mdy = jnp.sum(jnp.where(active, rdy, 0.0))
+            mdz = jnp.sum(jnp.where(active, rdz, 0.0))
 
         boot = pltpu.make_async_copy(npack_ref.at[0], row_s, sema)
         boot.start()
@@ -55,7 +73,7 @@ def make_kernel():
                                       sema).wait()
 
             closest = t_ref[:]
-            any_c, meta_c, hit_c = [], [], []
+            any_c, meta_c, hit_c, key_c = [], [], [], []
             for cc in range(WIDTH):
                 b = 16 * cc
                 g = lambda j, b=b: row_s[b + j]
@@ -77,14 +95,32 @@ def make_kernel():
                 hit_c.append(hit)
                 meta_c.append(meta)
                 any_c.append(jnp.any(hit) & (meta != 0))
+                if near:
+                    key_c.append((g(0) + g(3)) * mdx + (g(1) + g(4)) * mdy
+                                 + (g(2) + g(5)) * mdz)
+
+            if near:
+                # sort (key desc, meta, push) so pushes go far-to-near
+                trip = [[key_c[i], meta_c[i],
+                         (any_c[i] & (meta_c[i] > 0))] for i in
+                        range(WIDTH)]
+                for i, j in NET8:
+                    a, b_ = trip[i], trip[j]
+                    sw = b_[0] > a[0]  # descending by key
+                    for f in range(3):
+                        ai, bi = a[f], b_[f]
+                        a[f] = jnp.where(sw, bi, ai)
+                        b_[f] = jnp.where(sw, ai, bi)
+                push_src = [(t[2], t[1]) for t in trip]
+            else:
+                push_src = [(any_c[i] & (meta_c[i] > 0), meta_c[i])
+                            for i in range(WIDTH)]
 
             off = jnp.int32(0)
-            for cc in range(WIDTH):
-                push = any_c[cc] & (meta_c[cc] > 0)
-
+            for push, meta in push_src:
                 @pl.when(push)
-                def _(cc=cc, off=off):
-                    stack_s[sp + off] = meta_c[cc] - jnp.int32(1)
+                def _(meta=meta, off=off):
+                    stack_s[sp + off] = meta - jnp.int32(1)
 
                 off = off + push.astype(jnp.int32)
             sp2 = sp + off
@@ -98,26 +134,31 @@ def make_kernel():
                 pltpu.make_async_copy(npack_ref.at[nid2], row_s,
                                       sema).start()
 
-            # leaf phase: start all DMAs, then wait+process
-            for cc in range(WIDTH):
-                @pl.when(any_c[cc] & (meta_c[cc] < 0))
-                def _(cc=cc):
-                    col7 = -meta_c[cc] - jnp.int32(1)
-                    pltpu.make_async_copy(clusters_ref.at[col7],
-                                          crow_s.at[cc % 4],
-                                          csem.at[cc % 4]).start()
-                    pltpu.make_async_copy(clusters_ref.at[col7],
-                                          crow_s.at[cc % 4],
-                                          csem.at[cc % 4]).wait()
-                    cl = t_ref[:]
-                    for k in range(CLUSTER_SIZE):
-                        b = k * TRI_STRIDE
-                        s = lambda j, b=b, cc=cc: crow_s[cc % 4, b + j]
-                        tt, ok = _mt(s, (rox, roy, roz),
-                                     (rdx, rdy, rdz),
-                                     hit_c[cc], t_min, det_eps, cl)
-                        cl = jnp.where(ok, tt, cl)
-                    t_ref[:] = cl
+            for group in range(0, WIDTH, 4):
+                for cc in range(group, group + 4):
+                    @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                    def _(cc=cc):
+                        col7 = -meta_c[cc] - jnp.int32(1)
+                        pltpu.make_async_copy(clusters_ref.at[col7],
+                                              crow_s.at[cc % 4],
+                                              csem.at[cc % 4]).start()
+                for cc in range(group, group + 4):
+                    @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                    def _(cc=cc):
+                        col7 = -meta_c[cc] - jnp.int32(1)
+                        pltpu.make_async_copy(clusters_ref.at[col7],
+                                              crow_s.at[cc % 4],
+                                              csem.at[cc % 4]).wait()
+                        cl = t_ref[:]
+                        for k in range(CLUSTER_SIZE):
+                            b = k * TRI_STRIDE
+                            s = (lambda j, b=b, cc=cc:
+                                 crow_s[cc % 4, b + j])
+                            tt, ok = _mt(s, (rox, roy, roz),
+                                         (rdx, rdy, rdz),
+                                         hit_c[cc], t_min, det_eps, cl)
+                            cl = jnp.where(ok, tt, cl)
+                        t_ref[:] = cl
 
             return have2, nid2, sp3, nid2, pend2
 
@@ -128,14 +169,15 @@ def make_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
-def traverse8(npack, clusters, num_nodes, comps, sub, interpret=False):
+@functools.partial(jax.jit, static_argnames=("variant", "sub", "interpret"))
+def traverse_v(npack, clusters, num_nodes, comps, variant, sub,
+               interpret=False):
     rows = comps[0].shape[0]
     grid = rows // sub
     block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel(),
+    kernel = functools.partial(make_kernel(variant),
                                t_min=1e-3, t_max=1e9, det_eps=1e-5)
     out = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
@@ -168,7 +210,6 @@ def main():
     npack8, n8 = collapse4(np.asarray(fs.nodes8), int(fs.num_nodes),
                            width=8)
     npack8 = jnp.asarray(npack8)
-    print(f"bvh8: {n8} nodes", flush=True)
     W, H = 1280, 144
     P = W * H
     cfg = RenderConfig(width=W, height=H)
@@ -203,25 +244,16 @@ def main():
         return tuple(c.reshape(rows, LANES) for c in (*o, *d)) + (
             a.astype(jnp.float32).reshape(rows, LANES),)
 
-    subs = os.environ.get("RAYTPU_EXP17_SUBS")
-    if subs:
-        pops = {}
-        for s in (int(x) for x in subs.split(",")):
-            pops[f"primaries s{s}"] = (to_comps(po, pd, ones), po, pd,
-                                       ones, s)
-            pops[f"bounce1 s{s}"] = (to_comps(b1o, b1d, b1a), b1o, b1d,
-                                     b1a, s)
-    else:
-        pops = {"primaries": (to_comps(po, pd, ones), po, pd, ones, 16),
-                "bounce1": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 32)}
+    pops = {"primaries": (to_comps(po, pd, ones), po, pd, ones, 8),
+            "bounce1": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 16)}
     num = jnp.asarray(n8, jnp.int32).reshape(1)
 
-    @functools.partial(jax.jit, static_argnames=("k", "sub"))
-    def chain(comps, salt, k, sub):
+    @functools.partial(jax.jit, static_argnames=("k", "variant", "sub"))
+    def chain(comps, salt, k, variant, sub):
         def body(i, acc):
             cc = (comps[0] + (salt + i).astype(jnp.float32) * 1e-12,
                   *comps[1:])
-            t = traverse8(npack8, fs.clusters, num, cc, sub)
+            t = traverse_v(npack8, fs.clusters, num, cc, variant, sub)
             return acc + jnp.sum(t * (t < 1e8))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
@@ -234,23 +266,27 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    for name, (comps, o, d, a, sub) in pops.items():
-        try:
-            t = traverse8(npack8, fs.clusters, num, comps, sub)
-            t.block_until_ready()
-        except Exception as e:
-            print(f"bvh8 {name:9s}: COMPILE FAIL {str(e)[:160]}",
-                  flush=True)
-            continue
-        ref = pallas_traverse(fs, o, d, a, cfg, sublanes=sub)
-        want = jnp.where(ref.closest_t < cfg.t_max, ref.closest_t, 1e9)
-        bad = int(jnp.sum(jnp.abs(
-            jnp.minimum(t.reshape(P), 1e9) - want) > 2e-3))
-        fn = functools.partial(chain, comps, jnp.uint32(3), sub=sub)
-        t2, t8 = timed(fn, 2), timed(fn, 8)
-        per = (t8 - t2) / 6
-        print(f"bvh8 {name:9s} S={sub}: {per*1e3:7.2f} ms (bad={bad})",
-              flush=True)
+    for variant in ("base", "near"):
+        for name, (comps, o, d, a, sub) in pops.items():
+            try:
+                t = traverse_v(npack8, fs.clusters, num, comps, variant,
+                               sub)
+                t.block_until_ready()
+            except Exception as e:
+                print(f"{variant:5s} {name:9s}: COMPILE FAIL "
+                      f"{str(e)[:160]}", flush=True)
+                continue
+            ref = pallas_traverse(fs, o, d, a, cfg, sublanes=sub)
+            want = jnp.where(ref.closest_t < cfg.t_max, ref.closest_t,
+                             1e9)
+            bad = int(jnp.sum(jnp.abs(
+                jnp.minimum(t.reshape(P), 1e9) - want) > 2e-3))
+            fn = functools.partial(chain, comps, jnp.uint32(3),
+                                   variant=variant, sub=sub)
+            t2, t8 = timed(fn, 2), timed(fn, 8)
+            per = (t8 - t2) / 6
+            print(f"{variant:5s} {name:9s} S={sub}: {per*1e3:7.2f} ms "
+                  f"(bad={bad})", flush=True)
 
 
 if __name__ == "__main__":

@@ -42,13 +42,12 @@ from raytracer_tpu.kernels.tracer import TraversalResult
 import os as _os
 
 # One tile = `sublanes` f32 vector register planes of rays sharing one
-# node pointer. Bigger tiles cut *total* union iterations (sharing
-# amortizes faster than per-tile walk length grows — exp8c) at linear
-# vector work per iteration; the sweet spot differs by ray population.
-# With the packed-row SMEM node fetch (exp12b, 184k flagship band):
-# primaries S=16 1.73 ms (106 Mrays/s), sorted bounce-1 S=32 10.4 ms.
-PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "16"))
-BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "32"))
+# walk. Bigger tiles amortize per-visit scalar costs over more rays but
+# union more divergent needs; the optimum shifts DOWN as per-visit costs
+# shrink. With the BVH8 stack kernel (exp17 sweep, 184k flagship band):
+# primaries S=8 1.00 ms (184 Mrays/s), sorted bounce-1 S=16 8.09 ms.
+PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "8"))
+BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "16"))
 BLOCK_LANES = 128
 BLOCK = PRIMARY_SUBLANES * BLOCK_LANES  # primary-path tile, rays
 # Tree steps per while-loop iteration (amortizes loop overhead; the second
@@ -214,6 +213,12 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
 
 WIDE = 8  # children per wide-BVH node: one node = one 128-float row
 
+# Batcher odd-even merge sort network for 8 elements (19 comparators) —
+# used to order child pushes near-first by centroid projection.
+_NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+         (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+         (2, 4), (3, 5), (3, 4)]
+
 
 def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                    rox_ref, roy_ref, roz_ref,
@@ -236,6 +241,13 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
     for ref in (nx_ref, ny_ref, nz_ref, ar_ref, ag_ref, ab_ref, mt_ref):
         ref[:] = zero
 
+    # Mean tile direction (one-time reductions): orders child pushes
+    # near-first, which tightens closest-t before far subtrees pop and
+    # culls whole visits (sorted bounce-1 6.10 vs 7.81 ms — exp18).
+    mdx = jnp.sum(jnp.where(active, rdx, 0.0))
+    mdy = jnp.sum(jnp.where(active, rdy, 0.0))
+    mdz = jnp.sum(jnp.where(active, rdz, 0.0))
+
     # Prefetching loop shape (exp16 "pf", ~9% faster than DMA-at-top):
     # after the pushes, the next stack top is known, so its node-row DMA
     # starts before the leaf phase and overlaps the cluster work + loop
@@ -257,7 +269,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                                   nrow_sem).wait()
 
         closest = t_ref[:]
-        any_c, meta_c, hit_c = [], [], []
+        any_c, meta_c, hit_c, key_c = [], [], [], []
         for cc in range(WIDE):
             b = 16 * cc
 
@@ -282,16 +294,28 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             hit_c.append(hit)
             meta_c.append(meta)
             any_c.append(jnp.any(hit) & (meta != 0))
+            key_c.append((g(0) + g(3)) * mdx + (g(1) + g(4)) * mdy
+                         + (g(2) + g(5)) * mdz)
 
         # Pushes + next-top prefetch BEFORE the leaf phase: nrow_smem is
-        # dead once the slab loop has extracted bounds and metas.
-        off = jnp.int32(0)
-        for cc in range(WIDE):
-            push = any_c[cc] & (meta_c[cc] > 0)
+        # dead once the slab loop has extracted bounds and metas. Pushes
+        # are sorted far-to-near (scalar Batcher network on centroid
+        # projections) so the nearest subtree pops first.
+        trip = [[key_c[i], meta_c[i], any_c[i] & (meta_c[i] > 0)]
+                for i in range(WIDE)]
+        for i, j in _NET8:
+            a_, b_ = trip[i], trip[j]
+            sw = b_[0] > a_[0]  # descending key = far first
+            for f in range(3):
+                ai, bi = a_[f], b_[f]
+                a_[f] = jnp.where(sw, bi, ai)
+                b_[f] = jnp.where(sw, ai, bi)
 
+        off = jnp.int32(0)
+        for _, pmeta, push in trip:
             @pl.when(push)
-            def _(cc=cc, off=off):
-                stack_smem[sp + off] = meta_c[cc] - jnp.int32(1)
+            def _(pmeta=pmeta, off=off):
+                stack_smem[sp + off] = pmeta - jnp.int32(1)
 
             off = off + push.astype(jnp.int32)
         sp2 = sp + off
