@@ -244,8 +244,9 @@ def main():
         return tuple(c.reshape(rows, LANES) for c in (*o, *d)) + (
             a.astype(jnp.float32).reshape(rows, LANES),)
 
-    pops = {"primaries": (to_comps(po, pd, ones), po, pd, ones, 8),
-            "bounce1": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 16)}
+    pops = {"bounce1 s8": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 8),
+            "bounce1 s16": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 16),
+            "bounce1 s32": (to_comps(b1o, b1d, b1a), b1o, b1d, b1a, 32)}
     num = jnp.asarray(n8, jnp.int32).reshape(1)
 
     @functools.partial(jax.jit, static_argnames=("k", "variant", "sub"))
@@ -266,7 +267,7 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    for variant in ("base", "near"):
+    for variant in ("near",):
         for name, (comps, o, d, a, sub) in pops.items():
             try:
                 t = traverse_v(npack8, fs.clusters, num, comps, variant,
