@@ -227,15 +227,25 @@ def build_fast_scene_device(verts: jnp.ndarray,
     cl_hi = hi_s.reshape(l, CLUSTER_SIZE, 3).max(axis=1)
     cl_code = codes_sorted.reshape(l, CLUSTER_SIZE)[:, 0]
 
+    # NOTE on assembly dtype: the link columns are raw int32 bit patterns.
+    # Small positive ints bitcast to f32 DENORMALS and small negative ints
+    # to NaN payloads; XLA:TPU flushes denormals to zero and canonicalizes
+    # NaNs in f32 elementwise/concat ops, silently corrupting the links
+    # (skip=0 everywhere -> the traversal loops forever and the worker
+    # watchdog kills the chip). So the table is concatenated entirely in
+    # i32 (bit-preserving) and bitcast to f32 once at the end; downstream
+    # slices/gathers/DMAs preserve bits (all measured on the axon TPU).
+    def as_i32(f):
+        return jax.lax.bitcast_convert_type(f, jnp.int32)
+
     if l == 1:
         # Degenerate single-cluster scene: one leaf node.
-        nodes8 = jnp.concatenate([
-            cl_lo, cl_hi,
-            jax.lax.bitcast_convert_type(jnp.array([[1]], jnp.int32),
-                                         jnp.float32).reshape(1, 1),
-            jax.lax.bitcast_convert_type(jnp.array([[0]], jnp.int32),
-                                         jnp.float32).reshape(1, 1),
+        nodes8_i = jnp.concatenate([
+            as_i32(cl_lo), as_i32(cl_hi),
+            jnp.array([[1]], jnp.int32),
+            jnp.array([[0]], jnp.int32),
         ], axis=1)
+        nodes8 = jax.lax.bitcast_convert_type(nodes8_i, jnp.float32)
     else:
         left, right, first, last, parent = build_lbvh_tables(cl_code)
 
@@ -279,11 +289,11 @@ def build_fast_scene_device(verts: jnp.ndarray,
             -(left + 1),                                   # internal
             jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0).reshape(l),
         ])
-        nodes8 = jnp.concatenate([
-            all_lo, all_hi,
-            jax.lax.bitcast_convert_type(escape, jnp.float32)[:, None],
-            jax.lax.bitcast_convert_type(leaf_col, jnp.float32)[:, None],
+        nodes8_i = jnp.concatenate([
+            as_i32(all_lo), as_i32(all_hi),
+            escape[:, None], leaf_col[:, None],
         ], axis=1)
+        nodes8 = jax.lax.bitcast_convert_type(nodes8_i, jnp.float32)
 
     # --- pack clusters: [L, 128] rows (v0 v1 v2 albedo type pad3) ---
     v_s = jnp.take(verts.reshape(t, 9), order, axis=0)

@@ -489,11 +489,49 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     if cfg.shading == "fixed_light":
         from raytracer_tpu.kernels.tracer import fixed_light_color
 
-        seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy, gh,
-                                               jitter=False)
-        res = ray_traverse_fast(scene, ray_o, ray_d,
-                                jnp.ones((p,), bool), cfg)
-        color = fixed_light_color(res)
+        default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
+        if _os.environ.get("RAYTPU_B0", default_b0) == "pallas":
+            # C12 tier through the Pallas traversal (same raster+pad
+            # trick as the path-tracing branch below).
+            from raytracer_tpu.kernels.pallas_trace import (
+                BLOCK, pallas_traverse, pick_tile)
+            from raytracer_tpu.kernels.wavefront import BBLOCK
+
+            tile = pick_tile(h, w)
+            grain = max(BLOCK, BBLOCK)
+            p_pad = -(-p // grain) * grain
+            i = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1),
+                                         0).reshape(p_pad)
+            if tile is not None and p_pad == p:
+                th, tw = tile
+                per = th * tw
+                t_id, off = i // per, i % per
+                tiles_x = w // tw
+                xx = (t_id % tiles_x) * tw + off % tw
+                yy_local = (t_id // tiles_x) * th + off // tw
+                alive = jnp.ones((p_pad,), bool)
+            else:
+                i_mod = i % p
+                xx = i_mod % w
+                yy_local = i_mod // w
+                alive = i < p
+            yy = yy_local + jnp.int32(y_offset)
+            pixel = (yy * w + xx).astype(jnp.uint32)
+            seed2 = initial_seed(cam, cfg, pixel, sample_index)
+            _, ray_o, ray_d = make_primary_rays(cam, cfg, seed2, xx, yy,
+                                                gh, jitter=False)
+            res = pallas_traverse(scene, ray_o, ray_d, alive, cfg)
+            color = fixed_light_color(res)
+            pix_local = jnp.where(i < p, yy_local * w + xx, jnp.int32(p))
+            color = tuple(
+                jnp.zeros((p,), jnp.float32)
+                .at[pix_local].set(c, mode="drop") for c in color)
+        else:
+            seed, ray_o, ray_d = make_primary_rays(cam, cfg, seed, xx, yy,
+                                                   gh, jitter=False)
+            res = ray_traverse_fast(scene, ray_o, ray_d,
+                                    jnp.ones((p,), bool), cfg)
+            color = fixed_light_color(res)
         stats = {"rays_traced": jnp.float32(p), "bounce_iters": jnp.int32(1)}
         image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
         return image, stats

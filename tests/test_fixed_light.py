@@ -73,6 +73,21 @@ def test_fixed_light_packet_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+def test_fixed_light_pallas_parity(monkeypatch):
+    """The C12 tier through the Pallas traversal (incl. padded raster
+    fallback) must match the per-ray XLA path against the oracle."""
+    verts, mats = _arrays()
+    cam = _cam()
+    scene = build_fast_scene_from_arrays(verts, mats)
+    cfg = RenderConfig(width=W, height=H, kernel="packet",
+                       shading="fixed_light", rng_mode="reference")
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    got, stats = render_linear_fast(scene, cam.uniforms(), cfg)
+    want = _oracle_image(verts, mats, cam)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    assert float(stats["rays_traced"]) == W * H
+
+
 def test_fixed_light_background_is_black_even_with_sky_flag():
     verts, mats = _arrays()
     cam = Camera(origin=(0.0, 50.0, 200.0), look_at=(0.0, 200.0, 150.0),

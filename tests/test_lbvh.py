@@ -170,12 +170,28 @@ def test_device_scene_builder_live_edit(tmp_path):
     assert int(s1.num_triangles) == 12
 
     # Edit transform: same structure -> same executable.
-    from raytracer_tpu.scene.device_builder import _assemble_and_build
-    n0 = _assemble_and_build._cache_size()
+    # Regression guard for the TPU f32-canonicalization bug: the emitted
+    # link bits must decode to a terminating walk with in-range leaf ids
+    # on whatever backend built them (on TPU, f32 assembly flushed
+    # denormal skip links to 0 -> infinite traversal -> worker crash).
+    nodes = np.asarray(s1.nodes8)
+    m1 = int(s1.num_nodes)
+    li = nodes[:m1, 6:8].view(np.int32)
+    node = steps = 0
+    while node < m1 and steps <= 4 * m1:
+        c = li[node, 1]
+        node = (-c - 1) if c < 0 else li[node, 0]
+        steps += 1
+    assert node >= m1, "walk did not terminate (corrupt links)"
+    leaf = li[li[:, 1] >= 0, 1]
+    assert (leaf < s1.clusters.shape[0]).all()
+
+    from raytracer_tpu.scene.device_builder import _assemble, _build_jit
+    n0 = _assemble._cache_size() + _build_jit._cache_size()
     inst2 = ModelInstance(obj, position=(3, 1, 0), scale=(5, 5, 5),
                           color=(0, 1, 0), material_type=1.0)
     s2 = b.build([inst2])
-    assert _assemble_and_build._cache_size() == n0
+    assert _assemble._cache_size() + _build_jit._cache_size() == n0
 
     cfg = RenderConfig(width=32, height=24, max_bounces=2)
     cam = Camera(origin=(0, 3, 25), look_at=(0, 0, 0), vfov_deg=40,
