@@ -150,6 +150,10 @@ def timing():
 
     state = jax.tree.map(lambda x: x, prep(fs, cam.uniforms()))
 
+    from raytracer_tpu.kernels.wavefront import wavefront_bounces
+    import dataclasses
+    cfg10 = dataclasses.replace(cfg, max_bounces=10)
+
     @functools.partial(jax.jit, static_argnames=("k", "mode"))
     def chain(state, salt, k, mode):
         def body(i, acc):
@@ -159,6 +163,12 @@ def timing():
             if mode == "mega":
                 col, s2, al, rays = mega_chain(npack8, fs.clusters, n8,
                                                cfg, st, 9, 8, False)
+            elif mode == "wave":
+                o2, d2, c2, a2, s2, al2 = st
+                cx, cy, cz, rays = wavefront_bounces(
+                    fs, o2, d2, c2, a2, s2, al2, jnp.bool_(True), cfg10,
+                    start_bounce=1)
+                col = (cx, cy, cz)
             else:
                 col, s2, al, rays = ref_chain(fs, cfg, st, 9, False)
             return acc + jnp.sum(col[0]) + rays
@@ -173,7 +183,7 @@ def timing():
             ts.append(time.time() - t0)
         return min(ts)
 
-    for mode in ("mega", "ref"):
+    for mode in ("wave", "mega"):
         try:
             fn = functools.partial(chain, state, jnp.uint32(3), mode=mode)
             t2, t8 = timed(fn, 2), timed(fn, 8)

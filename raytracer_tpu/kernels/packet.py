@@ -594,7 +594,56 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
             bounce_path = _os.environ.get(
                 "RAYTPU_BOUNCE",
                 "wave" if jax.default_backend() == "tpu" else "mega")
-            if bounce_path == "wave":
+            if (bounce_path == "pmega"
+                    and getattr(scene, "nodes4", None) is None):
+                bounce_path = "wave"  # megakernel needs the BVH8 table
+            if bounce_path == "pmega":
+                # A/B option: one pd5 sort, then the whole bounce chain
+                # inside a single Pallas call (kernels/pallas_mega.py).
+                # Measured SLOWER than wavefront rounds at full frame
+                # (2.75 vs 6.11 FPS at 720p): without in-kernel
+                # compaction every tile re-walks until its last ray dies,
+                # which swamps the per-round overhead savings. Kept for
+                # the day the kernel gains occupancy compaction.
+                from raytracer_tpu.kernels.pallas_mega import \
+                    bounce_megakernel
+                from raytracer_tpu.kernels.wavefront import sort_key
+
+                smin = tuple(scene.nodes8[0, ax] for ax in range(3))
+                smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
+                key = sort_key(ray_o, ray_d, alive, smin, smax,
+                               _os.environ.get("RAYTPU_SORT_KEY", "pd5"))
+                order = jnp.argsort(key)
+                tk = lambda c: jnp.take(c, order)
+                ray_o = tuple(tk(c) for c in ray_o)
+                ray_d = tuple(tk(c) for c in ray_d)
+                color = tuple(tk(c) for c in color)
+                atten = tuple(tk(c) for c in atten)
+                seed = tk(seed)
+                alive_s = tk(alive)
+                pix_s = tk(pix_local)
+
+                blocks = tuple(
+                    c.reshape(-1, 128)
+                    for c in (*ray_o, *ray_d, *color, *atten)) + (
+                    jax.lax.bitcast_convert_type(
+                        seed, jnp.int32).reshape(-1, 128),
+                    alive_s.astype(jnp.float32).reshape(-1, 128))
+                num4 = jnp.asarray(scene.num_nodes4,
+                                   jnp.int32).reshape(1)
+                bcap = jnp.asarray(cfg.max_bounces - 1,
+                                   jnp.int32).reshape(1)
+                skyf = cam.sky_enabled.astype(jnp.int32).reshape(1)
+                outs = bounce_megakernel(
+                    scene.nodes4, scene.clusters, num4, blocks, bcap,
+                    skyf, 8, float(cfg.fuzz), bool(cfg.emissive_emits),
+                    interpret=jax.default_backend() != "tpu")
+                cs = tuple(outs[6 + i].reshape(p_pad) for i in range(3))
+                rays = jnp.sum(outs[14])
+                cx, cy, cz = (
+                    jnp.zeros((p_pad,), jnp.float32)
+                    .at[pix_s].add(c, mode="drop") for c in cs)
+            elif bounce_path == "wave":
                 # Sorted wavefront rounds on the Pallas traversal
                 # (kernels/wavefront.py) — measured 1.38x vs the XLA
                 # megakernel at 720p; RAYTPU_BOUNCE=mega restores it

@@ -1,0 +1,412 @@
+"""Whole bounce chain in one Pallas call: the per-tile megakernel.
+
+The TPU analogue of the reference megakernel's per-workgroup bounce loop
+(``compute_dynamic_ray.comp:179-210``): after primaries are traced and
+shaded (and the rays sorted once by the pd5 key), each tile loops
+traverse -> shade -> respawn internally until its rays die or hit the
+bounce cap. Versus per-bounce wavefront rounds this removes every
+per-round sort, shade fusion, and dispatch; measured 23.5 vs 26.7 ms for
+bounces 2..10 on the 184k flagship band (exp20).
+
+Shading is the full material model ported to Mosaic: PCG32 (vector u32
+ops incl. the variable-amount shift, ``compute_dynamic_ray.comp:52-56``),
+the reference's masked in-sphere rejection sampling (stream-aligned draw
+for draw with kernels/rng.py, bounded at REJECTION_ROUNDS on both sides),
+sky gradient (``:81-85``), Lambertian / metal / fuzzy metal / emissive
+(``:132-154``).
+
+State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 15 outputs
+(advanced state + per-lane rays-traced counts). Seeds ride in an int32
+block: bitcast-int f32 data through XLA f32 ops flushes denormals and
+canonicalizes NaNs on TPU (see CLAUDE.md / bvh/lbvh.py).
+
+Mosaic notes: no u32->f32 cast (emulated via i32 + wraparound add);
+nested while loops (bounce loop around the walk loop) compile fine.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.fast_types import CLUSTER_SIZE, TRI_STRIDE
+from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
+
+LANES = 128
+STACK_CAP = 256
+WIDTH = 8
+NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+        (2, 4), (3, 5), (3, 4)]
+SPHERE_ITERS = REJECTION_ROUNDS
+
+
+def _pcg(v):
+    state = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((state >> shift) ^ state) * jnp.uint32(277803737)
+    return (word >> jnp.uint32(22)) ^ word
+
+
+def _unit(seed):
+    # Mosaic has no u32->f32 cast; go through i32 with a wraparound fix.
+    i = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    f = i.astype(jnp.float32)
+    f = jnp.where(i < 0, f + jnp.float32(4294967296.0), f)
+    return f / jnp.float32(4294967295.0)
+
+
+def _draw(seed, active):
+    ns = jnp.where(active, _pcg(seed), seed)
+    return ns, _unit(ns)
+
+
+def _sphere(seed, active):
+    """rng.random_vec3_in_unit_sphere: 3 discarded draws then 3 draws per
+    rejection round, bounded; masked identically to the XLA version."""
+    for _ in range(3):
+        seed, dummy = _draw(seed, active)
+    x = jnp.zeros_like(dummy)
+    y = jnp.zeros_like(dummy)
+    z = jnp.zeros_like(dummy)
+    need = active
+    for _ in range(SPHERE_ITERS):
+        seed, cx = _draw(seed, need)
+        seed, cy = _draw(seed, need)
+        seed, cz = _draw(seed, need)
+        cx = cx * 2.0 - 1.0
+        cy = cy * 2.0 - 1.0
+        cz = cz * 2.0 - 1.0
+        inside = (cx * cx + cy * cy + cz * cz) < 1.0
+        take = need & inside
+        x = jnp.where(take, cx, x)
+        y = jnp.where(take, cy, y)
+        z = jnp.where(take, cz, z)
+        need = need & ~inside
+    return seed, x, y, z
+
+
+def make_kernel(fuzz_const, emissive_emits):
+    def kernel(num_ref, npack_ref, clusters_ref,
+               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
+               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
+               sky_ref, bcap_ref,
+               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
+               rays_r,
+               stack_s, row_s, crow_s, sema, csem,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               *, t_min, t_max, det_eps):
+        # Copy state into the output refs; everything below mutates those.
+        for src, dst in ((i_rox, rox_r), (i_roy, roy_r), (i_roz, roz_r),
+                         (i_rdx, rdx_r), (i_rdy, rdy_r), (i_rdz, rdz_r),
+                         (i_cr, cr_r), (i_cg, cg_r), (i_cb, cb_r),
+                         (i_ar, ar_r), (i_ag, ag_r), (i_ab, ab_r),
+                         (i_seed, seed_r), (i_act, act_r)):
+            dst[:] = src[:]
+        rays_r[:] = jnp.zeros_like(rays_r[:])
+
+        sky_on = sky_ref[0] > 0
+        bcap = bcap_ref[0]
+
+        def walk():
+            rox, roy, roz = rox_r[:], roy_r[:], roz_r[:]
+            rdx, rdy, rdz = rdx_r[:], rdy_r[:], rdz_r[:]
+            ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
+            active = act_r[:] > 0.5
+            shape = rox.shape
+            t_s[:] = jnp.full(shape, t_max, jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for r in (nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s):
+                r[:] = zero
+
+            mdx = jnp.sum(jnp.where(active, rdx, 0.0))
+            mdy = jnp.sum(jnp.where(active, rdy, 0.0))
+            mdz = jnp.sum(jnp.where(active, rdz, 0.0))
+
+            boot = pltpu.make_async_copy(npack_ref.at[0], row_s, sema)
+            boot.start()
+            boot.wait()
+
+            def cond(c):
+                return c[0]
+
+            def body(c):
+                have, nid, sp, resident, pending = c
+
+                @pl.when(pending)
+                def _():
+                    pltpu.make_async_copy(npack_ref.at[resident], row_s,
+                                          sema).wait()
+
+                closest = t_s[:]
+                any_c, meta_c, hit_c, key_c = [], [], [], []
+                for cc in range(WIDTH):
+                    b = 16 * cc
+                    g = lambda j, b=b: row_s[b + j]
+                    meta = g(6).astype(jnp.int32)
+                    lo0 = (g(0) - rox) * ivx
+                    hi0 = (g(3) - rox) * ivx
+                    lo1 = (g(1) - roy) * ivy
+                    hi1 = (g(4) - roy) * ivy
+                    lo2 = (g(2) - roz) * ivz
+                    hi2 = (g(5) - roz) * ivz
+                    t_en = jnp.maximum(jnp.minimum(lo0, hi0),
+                                       jnp.maximum(jnp.minimum(lo1, hi1),
+                                                   jnp.minimum(lo2, hi2)))
+                    t_ex = jnp.minimum(jnp.maximum(lo0, hi0),
+                                       jnp.minimum(jnp.maximum(lo1, hi1),
+                                                   jnp.maximum(lo2, hi2)))
+                    hit = ((t_ex > t_en) & (t_ex > t_min)
+                           & (t_en < closest) & active)
+                    hit_c.append(hit)
+                    meta_c.append(meta)
+                    any_c.append(jnp.any(hit) & (meta != 0))
+                    key_c.append((g(0) + g(3)) * mdx + (g(1) + g(4)) * mdy
+                                 + (g(2) + g(5)) * mdz)
+
+                trip = [[key_c[i], meta_c[i], any_c[i] & (meta_c[i] > 0)]
+                        for i in range(WIDTH)]
+                for i, j in NET8:
+                    a_, b_ = trip[i], trip[j]
+                    sw = b_[0] > a_[0]
+                    for f in range(3):
+                        ai, bi = a_[f], b_[f]
+                        a_[f] = jnp.where(sw, bi, ai)
+                        b_[f] = jnp.where(sw, ai, bi)
+
+                off = jnp.int32(0)
+                for _, pmeta, push in trip:
+                    @pl.when(push)
+                    def _(pmeta=pmeta, off=off):
+                        stack_s[sp + off] = pmeta - jnp.int32(1)
+
+                    off = off + push.astype(jnp.int32)
+                sp2 = sp + off
+                have2 = sp2 > 0
+                sp3 = jnp.maximum(sp2 - 1, 0)
+                nid2 = stack_s[sp3]
+                pend2 = have2 & (nid2 != resident)
+
+                @pl.when(pend2)
+                def _():
+                    pltpu.make_async_copy(npack_ref.at[nid2], row_s,
+                                          sema).start()
+
+                for group in range(0, WIDTH, 4):
+                    for cc in range(group, group + 4):
+                        @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                        def _(cc=cc):
+                            col7 = -meta_c[cc] - jnp.int32(1)
+                            pltpu.make_async_copy(clusters_ref.at[col7],
+                                                  crow_s.at[cc % 4],
+                                                  csem.at[cc % 4]).start()
+                    for cc in range(group, group + 4):
+                        @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                        def _(cc=cc):
+                            col7 = -meta_c[cc] - jnp.int32(1)
+                            pltpu.make_async_copy(clusters_ref.at[col7],
+                                                  crow_s.at[cc % 4],
+                                                  csem.at[cc % 4]).wait()
+                            cl = t_s[:]
+                            nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
+                            tar, tag, tab = tar_s[:], tag_s[:], tab_s[:]
+                            tmt = tmt_s[:]
+                            for k in range(CLUSTER_SIZE):
+                                b = k * TRI_STRIDE
+                                s = (lambda j, b=b, cc=cc:
+                                     crow_s[cc % 4, b + j])
+                                v0x, v0y, v0z = s(0), s(1), s(2)
+                                e1x = s(3) - v0x
+                                e1y = s(4) - v0y
+                                e1z = s(5) - v0z
+                                e2x = s(6) - v0x
+                                e2y = s(7) - v0y
+                                e2z = s(8) - v0z
+                                nrx = e1y * e2z - e1z * e2y
+                                nry = e1z * e2x - e1x * e2z
+                                nrz = e1x * e2y - e1y * e2x
+                                nlen = jnp.sqrt(nrx * nrx + nry * nry
+                                                + nrz * nrz)
+                                inl = 1.0 / jnp.where(nlen > 0.0, nlen,
+                                                      1.0)
+                                nux = nrx * inl
+                                nuy = nry * inl
+                                nuz = nrz * inl
+                                pvx = rdy * e2z - rdz * e2y
+                                pvy = rdz * e2x - rdx * e2z
+                                pvz = rdx * e2y - rdy * e2x
+                                det = e1x * pvx + e1y * pvy + e1z * pvz
+                                ok = ~((det > -det_eps) & (det < det_eps))
+                                invd = 1.0 / jnp.where(ok, det, 1.0)
+                                sx = rox - v0x
+                                sy = roy - v0y
+                                sz = roz - v0z
+                                u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                                qx = sy * e1z - sz * e1y
+                                qy = sz * e1x - sx * e1z
+                                qz = sx * e1y - sy * e1x
+                                v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                                tt = invd * (e2x * qx + e2y * qy
+                                             + e2z * qz)
+                                ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                                ok &= (u + v <= 1.0)
+                                ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+                                flip = (rdx * nux + rdy * nuy
+                                        + rdz * nuz) > 0.0
+                                sgn = jnp.where(flip, -1.0, 1.0)
+                                cl = jnp.where(ok, tt, cl)
+                                nx = jnp.where(ok, sgn * nux, nx)
+                                ny = jnp.where(ok, sgn * nuy, ny)
+                                nz = jnp.where(ok, sgn * nuz, nz)
+                                tar = jnp.where(ok, s(9), tar)
+                                tag = jnp.where(ok, s(10), tag)
+                                tab = jnp.where(ok, s(11), tab)
+                                tmt = jnp.where(ok, s(12), tmt)
+                            t_s[:] = cl
+                            nx_s[:], ny_s[:], nz_s[:] = nx, ny, nz
+                            tar_s[:], tag_s[:], tab_s[:] = tar, tag, tab
+                            tmt_s[:] = tmt
+
+                return have2, nid2, sp3, nid2, pend2
+
+            have0 = jnp.any(active)
+            jax.lax.while_loop(cond, body,
+                               (have0, jnp.int32(0), jnp.int32(0),
+                                jnp.int32(0), jnp.bool_(False)))
+
+        def shade():
+            alive = act_r[:] > 0.5
+            t = t_s[:]
+            hit = alive & (t < t_max)
+            miss = alive & ~(t < t_max)
+
+            rox, roy, roz = rox_r[:], roy_r[:], roz_r[:]
+            rdx, rdy, rdz = rdx_r[:], rdy_r[:], rdz_r[:]
+            dlen = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+            idl = 1.0 / jnp.where(dlen > 0.0, dlen, 1.0)
+            uy = rdy * idl
+            tsky = 0.5 * (uy + 1.0)
+            omt = 1.0 - tsky
+            zero = jnp.zeros_like(omt)
+            skr = jnp.where(sky_on, omt + tsky * 0.5, zero)
+            skg = jnp.where(sky_on, omt + tsky * 0.7, zero)
+            skb = jnp.where(sky_on, omt + tsky * 1.0, zero)
+
+            atr, atg, atb = ar_r[:], ag_r[:], ab_r[:]
+            cr, cg, cb = cr_r[:], cg_r[:], cb_r[:]
+            cr = jnp.where(miss, atr * skr, cr)
+            cg = jnp.where(miss, atg * skg, cg)
+            cb = jnp.where(miss, atb * skb, cb)
+
+            mt = tmt_s[:]
+            albr, albg, albb = tar_s[:], tag_s[:], tab_s[:]
+            nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
+            is_lam = mt == 0.0
+            is_metal = (mt == 1.0) | (mt == 2.0)
+            is_emis = mt == 3.0
+
+            seed = seed_r[:].astype(jnp.uint32)
+            needs = hit & (is_lam | is_metal)
+            seed, sphx, sphy, sphz = _sphere(seed, needs)
+            slen = jnp.sqrt(sphx * sphx + sphy * sphy + sphz * sphz)
+            isl = 1.0 / jnp.where(needs & (slen > 0.0), slen, 1.0)
+            usx, usy, usz = sphx * isl, sphy * isl, sphz * isl
+            lamx, lamy, lamz = nx + usx, ny + usy, nz + usz
+            laml = jnp.sqrt(lamx * lamx + lamy * lamy + lamz * lamz)
+            degen = laml < 1e-4
+            lamx = jnp.where(degen, nx, lamx)
+            lamy = jnp.where(degen, ny, lamy)
+            lamz = jnp.where(degen, nz, lamz)
+
+            fz = jnp.where(mt == 2.0, jnp.float32(fuzz_const), 0.0)
+            ndx, ndy, ndz = rdx * idl, rdy * idl, rdz * idl
+            dn = ndx * nx + ndy * ny + ndz * nz
+            refx = ndx - 2.0 * dn * nx
+            refy = ndy - 2.0 * dn * ny
+            refz = ndz - 2.0 * dn * nz
+            metx = refx + fz * sphx
+            mety = refy + fz * sphy
+            metz = refz + fz * sphz
+
+            rawx = jnp.where(is_lam, lamx, metx)
+            rawy = jnp.where(is_lam, lamy, mety)
+            rawz = jnp.where(is_lam, lamz, metz)
+            rl = jnp.sqrt(rawx * rawx + rawy * rawy + rawz * rawz)
+            irl = 1.0 / jnp.where(rl > 0.0, rl, 1.0)
+            newx, newy, newz = rawx * irl, rawy * irl, rawz * irl
+
+            met_ok = (newx * nx + newy * ny + newz * nz) > 0.0
+            scattered = hit & (is_lam | (is_metal & met_ok))
+            if emissive_emits:
+                emis = hit & is_emis
+                cr = jnp.where(emis, cr + albr * atr, cr)
+                cg = jnp.where(emis, cg + albg * atg, cg)
+                cb = jnp.where(emis, cb + albb * atb, cb)
+
+            hx = rox + rdx * t
+            hy = roy + rdy * t
+            hz = roz + rdz * t
+            ar_r[:] = jnp.where(scattered, atr * albr, atr)
+            ag_r[:] = jnp.where(scattered, atg * albg, atg)
+            ab_r[:] = jnp.where(scattered, atb * albb, atb)
+            rox_r[:] = jnp.where(scattered, hx, rox)
+            roy_r[:] = jnp.where(scattered, hy, roy)
+            roz_r[:] = jnp.where(scattered, hz, roz)
+            rdx_r[:] = jnp.where(scattered, newx, rdx)
+            rdy_r[:] = jnp.where(scattered, newy, rdy)
+            rdz_r[:] = jnp.where(scattered, newz, rdz)
+            cr_r[:], cg_r[:], cb_r[:] = cr, cg, cb
+            seed_r[:] = seed.astype(jnp.int32)
+            act_r[:] = scattered.astype(jnp.float32)
+
+        def bcond(b):
+            return (b < bcap) & jnp.any(act_r[:] > 0.5)
+
+        def bbody(b):
+            rays_r[:] = rays_r[:] + act_r[:]
+            walk()
+            shade()
+            return b + 1
+
+        jax.lax.while_loop(bcond, bbody, jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
+                                             "interpret"))
+def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
+                fuzz, emis, interpret=False):
+    """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
+    seed(i32) act(f32). Returns 15 blocks: advanced state + per-lane
+    rays-traced counts."""
+    rows = state[0].shape[0]
+    grid = rows // sub
+    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(make_kernel(fuzz, emis),
+                               t_min=1e-3, t_max=1e4, det_eps=1e-5)
+    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    out_shape = (outf,) * 12 + (outi,) + (outf,) * 2
+    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
+                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident] + [block] * 14
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_shape=out_shape,
+        out_specs=(block,) * 15,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes, npack, clusters, *state, sky, bcap)

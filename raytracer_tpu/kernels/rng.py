@@ -53,13 +53,20 @@ def random_vec3(seed, active):
     return seed, (x, y, z)
 
 
-def random_vec3_in_unit_sphere(seed, active, max_iters: int | None = None):
+REJECTION_ROUNDS = 24  # P(exhaust) = (1 - pi/6)^24 ~ 2e-8 per draw
+
+
+def random_vec3_in_unit_sphere(seed, active,
+                               max_iters: int | None = REJECTION_ROUNDS):
     """Masked rejection sampling of a point in the unit ball -> SoA vec.
 
     Preserves the reference's stream structure: 3 draws for the discarded
-    ``temp`` vector, then 3 draws per rejection round. ``max_iters`` bounds
-    the loop for interpret/debug use; None = loop until every active ray
-    accepts (expected ~1.9 rounds; P(reject) = 1 - pi/6 per round).
+    ``temp`` vector, then 3 draws per rejection round. The loop is bounded
+    at REJECTION_ROUNDS so streams are deterministic and identical between
+    the XLA and Pallas shade implementations; an exhausted lane returns
+    (0,0,0) and the caller falls back to the surface normal (scatter's
+    zero-length guard). ``max_iters=None`` restores the reference's
+    unbounded loop.
     """
     # Discarded temp draw (compute_dynamic_ray.comp:64) — stream parity.
     seed, _ = random_vec3(seed, active)

@@ -181,8 +181,11 @@ def scatter(seed, ray_d: vec.V3, normal: vec.V3, albedo: vec.V3, mtype,
     needs_draw = hit & (is_lam | is_metal)
     seed, sph = rng.random_vec3_in_unit_sphere(seed, needs_draw)
 
-    # Lambertian.
-    inv_sph = 1.0 / jnp.where(needs_draw, vec.length(sph), 1.0)
+    # Lambertian. Zero-length guard: an exhausted (bounded) rejection
+    # sample returns (0,0,0) -> unit_sph = 0 -> direction falls back to
+    # the surface normal instead of NaN.
+    sph_len = vec.length(sph)
+    inv_sph = 1.0 / jnp.where(needs_draw & (sph_len > 0.0), sph_len, 1.0)
     unit_sph = vec.scale(sph, inv_sph)
     lam_dir = vec.add(normal, unit_sph)
     lam_degenerate = vec.length(lam_dir) < 1e-4

@@ -64,6 +64,20 @@ def test_wavefront_single_level(small_scene, monkeypatch):
     np.testing.assert_allclose(wave, ref, atol=2e-5)
 
 
+def test_bounce_megakernel_matches_wavefront(small_scene, monkeypatch):
+    """RAYTPU_BOUNCE=pmega (whole bounce chain in one Pallas call,
+    kernels/pallas_mega.py) must match the wavefront rounds: identical
+    per-ray RNG streams (the in-sphere sampler is bounded at
+    REJECTION_ROUNDS on both sides), deposits differ only in fp add
+    order."""
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    got, rays_got = _render(small_scene, "pallas", "pmega", monkeypatch,
+                            w=128, h=64, bounces=4)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert rays_got == rays_ref
+
+
 @pytest.mark.parametrize("mode", ["pd5", "oct_morton"])
 def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
