@@ -4,9 +4,14 @@ The TPU analogue of the reference megakernel's per-workgroup bounce loop
 (``compute_dynamic_ray.comp:179-210``): after primaries are traced and
 shaded (and the rays sorted once by the pd5 key), each tile loops
 traverse -> shade -> respawn internally until its rays die or hit the
-bounce cap. Versus per-bounce wavefront rounds this removes every
-per-round sort, shade fusion, and dispatch; measured 23.5 vs 26.7 ms for
-bounces 2..10 on the 184k flagship band (exp20).
+bounce cap, removing every per-round sort, shade fusion, and dispatch.
+
+NOT the default: at full frame it measured 2.75 vs 6.11 FPS against the
+sorted wavefront rounds — without in-kernel compaction every tile
+re-walks until its last ray dies, which swamps the per-round savings
+(exp20; selected by RAYTPU_BOUNCE=pmega). Kept as the base for a future
+occupancy-compacting variant and as the proof that the full material
+model runs inside Mosaic.
 
 Shading is the full material model ported to Mosaic: PCG32 (vector u32
 ops incl. the variable-amount shift, ``compute_dynamic_ray.comp:52-56``),
