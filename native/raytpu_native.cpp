@@ -483,9 +483,402 @@ int64_t rt_build_bvh_sah(const float* tris, int64_t n, int32_t leaf_size,
 }
 
 // ---------------------------------------------------------------------------
+// SBVH: binned-SAH build with SPATIAL SPLITS (Stich et al., HPG 2009,
+// simplified: reference boxes are plane-clipped; no triangle-polygon
+// re-clipping, no unsplitting). Straddling triangles are duplicated into
+// both children with their boxes clipped at the split plane, which
+// shrinks overlapping leaf bounds — fewer false leaf visits on meshes
+// whose triangles straddle natural partitions (the leaf Möller–Trumbore
+// work that dominates bounce traversal, PERF_NOTES.md). Correctness:
+// the two clipped boxes union to the original, so every surface point of
+// a triangle stays covered by at least one of its references; duplicate
+// MT tests return identical t (strict < keeps the first).
+//
+// Same outputs/layout as rt_build_bvh_sah, except `order` may contain a
+// triangle index more than once: caller allocates order[max_refs] and
+// node arrays for 2*max_refs-1; the actual reference count is
+// sum(node_ntri) and the node count is returned. Spatial splits stop
+// when the duplication budget (max_refs) is reached.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct SRef {
+  int32_t tri;
+  float lo[3], hi[3];
+};
+
+struct SNode {
+  float bmin[3], bmax[3];
+  int64_t left = -1, right = -1;
+  int64_t first = 0, count = 0;  // leaf: range into the leaf-ref pool
+};
+
+float ref_union_area(const std::vector<SRef>& refs, float bmin[3],
+                     float bmax[3]) {
+  for (int ax = 0; ax < 3; ++ax) {
+    bmin[ax] = INFINITY;
+    bmax[ax] = -INFINITY;
+  }
+  for (const SRef& r : refs)
+    for (int ax = 0; ax < 3; ++ax) {
+      bmin[ax] = std::min(bmin[ax], r.lo[ax]);
+      bmax[ax] = std::max(bmax[ax], r.hi[ax]);
+    }
+  return half_area(bmin, bmax);
+}
+
+struct SbvhCtx {
+  std::vector<SNode> nodes;
+  std::vector<SRef> leaf_pool;
+  int64_t ref_count = 0;   // live references (duplication tracking)
+  int64_t max_refs = 0;
+  int32_t leaf_size = 8;
+  float root_area = 1.0f;
+};
+
+int64_t sbvh_build_rec(SbvhCtx& ctx, std::vector<SRef> refs) {
+  constexpr int kBins = 16;
+  constexpr float kAlpha = 1e-5f;  // min child-overlap/root-area to try
+                                   // a spatial split (Stich's alpha)
+  const int64_t slot = static_cast<int64_t>(ctx.nodes.size());
+  ctx.nodes.emplace_back();
+  float bmin[3], bmax[3];
+  ref_union_area(refs, bmin, bmax);
+  std::memcpy(ctx.nodes[slot].bmin, bmin, sizeof bmin);
+  std::memcpy(ctx.nodes[slot].bmax, bmax, sizeof bmax);
+  const int64_t k = static_cast<int64_t>(refs.size());
+
+  if (k <= ctx.leaf_size) {
+    ctx.nodes[slot].first = static_cast<int64_t>(ctx.leaf_pool.size());
+    ctx.nodes[slot].count = k;
+    for (const SRef& r : refs) ctx.leaf_pool.push_back(r);
+    return slot;
+  }
+
+  // Centroid bounds.
+  float cmin[3] = {INFINITY, INFINITY, INFINITY};
+  float cmax[3] = {-INFINITY, -INFINITY, -INFINITY};
+  for (const SRef& r : refs)
+    for (int ax = 0; ax < 3; ++ax) {
+      const float c = 0.5f * (r.lo[ax] + r.hi[ax]);
+      cmin[ax] = std::min(cmin[ax], c);
+      cmax[ax] = std::max(cmax[ax], c);
+    }
+
+  // --- object split: binned SAH over reference centroids ---
+  float obj_cost = INFINITY;
+  int obj_axis = -1, obj_bin = -1;
+  float obj_overlap = -INFINITY;  // SA of child-box intersection
+  for (int ax = 0; ax < 3; ++ax) {
+    const float ext = cmax[ax] - cmin[ax];
+    if (ext <= 0.0f) continue;
+    const float inv = kBins / ext;
+    int64_t cnt[kBins] = {};
+    float blo[kBins][3], bhi[kBins][3];
+    for (int b = 0; b < kBins; ++b)
+      for (int a2 = 0; a2 < 3; ++a2) {
+        blo[b][a2] = INFINITY;
+        bhi[b][a2] = -INFINITY;
+      }
+    for (const SRef& r : refs) {
+      int b = static_cast<int>((0.5f * (r.lo[ax] + r.hi[ax]) - cmin[ax])
+                               * inv);
+      b = std::min(std::max(b, 0), kBins - 1);
+      ++cnt[b];
+      for (int a2 = 0; a2 < 3; ++a2) {
+        blo[b][a2] = std::min(blo[b][a2], r.lo[a2]);
+        bhi[b][a2] = std::max(bhi[b][a2], r.hi[a2]);
+      }
+    }
+    float racc_lo[kBins][3], racc_hi[kBins][3];
+    float acc_lo[3] = {INFINITY, INFINITY, INFINITY};
+    float acc_hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+    int64_t rcnt[kBins];
+    int64_t acc_n = 0;
+    for (int b = kBins - 1; b >= 1; --b) {
+      for (int a2 = 0; a2 < 3; ++a2) {
+        acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+        acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+      }
+      acc_n += cnt[b];
+      std::memcpy(racc_lo[b], acc_lo, sizeof acc_lo);
+      std::memcpy(racc_hi[b], acc_hi, sizeof acc_hi);
+      rcnt[b] = acc_n;
+    }
+    for (int a2 = 0; a2 < 3; ++a2) {
+      acc_lo[a2] = INFINITY;
+      acc_hi[a2] = -INFINITY;
+    }
+    acc_n = 0;
+    for (int b = 0; b < kBins - 1; ++b) {
+      for (int a2 = 0; a2 < 3; ++a2) {
+        acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+        acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+      }
+      acc_n += cnt[b];
+      if (acc_n == 0 || acc_n == k) continue;
+      const float cost = acc_n * half_area(acc_lo, acc_hi)
+          + rcnt[b + 1] * half_area(racc_lo[b + 1], racc_hi[b + 1]);
+      if (cost < obj_cost) {
+        obj_cost = cost;
+        obj_axis = ax;
+        obj_bin = b;
+        // Child overlap box SA (spatial-split gate).
+        float olo[3], ohi[3];
+        bool any = true;
+        for (int a2 = 0; a2 < 3; ++a2) {
+          olo[a2] = std::max(acc_lo[a2], racc_lo[b + 1][a2]);
+          ohi[a2] = std::min(acc_hi[a2], racc_hi[b + 1][a2]);
+          if (ohi[a2] < olo[a2]) any = false;
+        }
+        obj_overlap = any ? half_area(olo, ohi) : 0.0f;
+      }
+    }
+  }
+
+  // --- spatial split: bin references into plane-bounded slabs ---
+  float sp_cost = INFINITY;
+  int sp_axis = -1;
+  float sp_pos = 0.0f;
+  // Hard duplication budget: a spatial split can add at most k refs
+  // (every ref straddles); only attempt one if even that fits.
+  const bool budget_ok = ctx.ref_count + k <= ctx.max_refs;
+  if (obj_axis >= 0 && budget_ok
+      && obj_overlap / ctx.root_area > kAlpha) {
+    for (int ax = 0; ax < 3; ++ax) {
+      const float ext = bmax[ax] - bmin[ax];
+      if (ext <= 0.0f) continue;
+      const float binw = ext / kBins;
+      const float inv = 1.0f / binw;
+      int64_t entry[kBins] = {}, exit_[kBins] = {};
+      float blo[kBins][3], bhi[kBins][3];
+      for (int b = 0; b < kBins; ++b)
+        for (int a2 = 0; a2 < 3; ++a2) {
+          blo[b][a2] = INFINITY;
+          bhi[b][a2] = -INFINITY;
+        }
+      for (const SRef& r : refs) {
+        int b0 = static_cast<int>((r.lo[ax] - bmin[ax]) * inv);
+        int b1 = static_cast<int>((r.hi[ax] - bmin[ax]) * inv);
+        b0 = std::min(std::max(b0, 0), kBins - 1);
+        b1 = std::min(std::max(b1, 0), kBins - 1);
+        ++entry[b0];
+        ++exit_[b1];
+        for (int b = b0; b <= b1; ++b) {
+          // Reference box clipped to the bin slab (box clip — looser
+          // than polygon clip but cheap).
+          const float slab_lo = bmin[ax] + b * binw;
+          const float slab_hi = slab_lo + binw;
+          for (int a2 = 0; a2 < 3; ++a2) {
+            float l = r.lo[a2], h = r.hi[a2];
+            if (a2 == ax) {
+              l = std::max(l, slab_lo);
+              h = std::min(h, slab_hi);
+            }
+            blo[b][a2] = std::min(blo[b][a2], l);
+            bhi[b][a2] = std::max(bhi[b][a2], h);
+          }
+        }
+      }
+      // Sweep planes between bins.
+      float racc_lo[kBins][3], racc_hi[kBins][3];
+      float acc_lo[3] = {INFINITY, INFINITY, INFINITY};
+      float acc_hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+      int64_t rcnt[kBins];
+      int64_t acc_n = 0;
+      for (int b = kBins - 1; b >= 1; --b) {
+        for (int a2 = 0; a2 < 3; ++a2) {
+          acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+          acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+        }
+        acc_n += exit_[b];
+        std::memcpy(racc_lo[b], acc_lo, sizeof acc_lo);
+        std::memcpy(racc_hi[b], acc_hi, sizeof acc_hi);
+        rcnt[b] = acc_n;
+      }
+      for (int a2 = 0; a2 < 3; ++a2) {
+        acc_lo[a2] = INFINITY;
+        acc_hi[a2] = -INFINITY;
+      }
+      acc_n = 0;
+      for (int b = 0; b < kBins - 1; ++b) {
+        for (int a2 = 0; a2 < 3; ++a2) {
+          acc_lo[a2] = std::min(acc_lo[a2], blo[b][a2]);
+          acc_hi[a2] = std::max(acc_hi[a2], bhi[b][a2]);
+        }
+        acc_n += entry[b];
+        const int64_t ln = acc_n, rn = rcnt[b + 1];
+        if (ln == 0 || rn == 0) continue;
+        const float cost = ln * half_area(acc_lo, acc_hi)
+            + rn * half_area(racc_lo[b + 1], racc_hi[b + 1]);
+        if (cost < sp_cost) {
+          sp_cost = cost;
+          sp_axis = ax;
+          sp_pos = bmin[ax] + (b + 1) * binw;
+        }
+      }
+    }
+  }
+
+  std::vector<SRef> lrefs, rrefs;
+  if (sp_axis >= 0 && sp_cost < obj_cost) {
+    // Spatial split: clip straddlers into both sides. (The chosen plane
+    // has entry/exit counts > 0 on both sides, so neither child can be
+    // empty.)
+    int64_t dup = 0;
+    for (const SRef& r : refs) {
+      if (r.hi[sp_axis] <= sp_pos) {
+        lrefs.push_back(r);
+      } else if (r.lo[sp_axis] >= sp_pos) {
+        rrefs.push_back(r);
+      } else {
+        SRef a = r, b = r;
+        a.hi[sp_axis] = sp_pos;
+        b.lo[sp_axis] = sp_pos;
+        lrefs.push_back(a);
+        rrefs.push_back(b);
+        ++dup;
+      }
+    }
+    if (lrefs.empty() || rrefs.empty()
+        || static_cast<int64_t>(lrefs.size()) == k
+        || static_cast<int64_t>(rrefs.size()) == k) {
+      lrefs.clear();  // no progress; fall back to the object split
+      rrefs.clear();
+    } else {
+      ctx.ref_count += dup;
+    }
+  }
+  if (lrefs.empty() || rrefs.empty()) {
+    lrefs.clear();
+    rrefs.clear();
+    if (obj_axis >= 0) {
+      const float inv = kBins / (cmax[obj_axis] - cmin[obj_axis]);
+      for (const SRef& r : refs) {
+        int b = static_cast<int>(
+            (0.5f * (r.lo[obj_axis] + r.hi[obj_axis]) - cmin[obj_axis])
+            * inv);
+        b = std::min(std::max(b, 0), kBins - 1);
+        (b <= obj_bin ? lrefs : rrefs).push_back(r);
+      }
+    }
+    if (lrefs.empty() || rrefs.empty()) {
+      // All centroids coincide: median fallback.
+      lrefs.clear();
+      rrefs.clear();
+      std::vector<SRef> sorted = refs;
+      const int ax = obj_axis >= 0 ? obj_axis : 0;
+      std::nth_element(
+          sorted.begin(), sorted.begin() + k / 2, sorted.end(),
+          [&](const SRef& a, const SRef& b) {
+            return a.lo[ax] + a.hi[ax] < b.lo[ax] + b.hi[ax];
+          });
+      lrefs.assign(sorted.begin(), sorted.begin() + k / 2);
+      rrefs.assign(sorted.begin() + k / 2, sorted.end());
+    }
+  }
+  refs.clear();
+  refs.shrink_to_fit();
+
+  const int64_t li = sbvh_build_rec(ctx, std::move(lrefs));
+  const int64_t ri = sbvh_build_rec(ctx, std::move(rrefs));
+  ctx.nodes[slot].left = li;
+  ctx.nodes[slot].right = ri;
+  return slot;
+}
+
+}  // namespace
+
+int64_t rt_build_bvh_sbvh(const float* tris, int64_t n, int32_t leaf_size,
+                          int64_t max_refs, float* node_min,
+                          float* node_max, int32_t* node_tri,
+                          int32_t* node_ntri, int32_t* node_skip,
+                          int32_t* node_data, int32_t* node_count,
+                          int64_t* order) {
+  if (n <= 0 || leaf_size < 1 || max_refs < n) return -1;
+
+  std::vector<SRef> refs(n);
+  for (int64_t i = 0; i < n; ++i) {
+    refs[i].tri = static_cast<int32_t>(i);
+    for (int ax = 0; ax < 3; ++ax) {
+      float a = tris[i * 9 + 0 + ax];
+      float b = tris[i * 9 + 3 + ax];
+      float c = tris[i * 9 + 6 + ax];
+      float mn = std::min(a, std::min(b, c));
+      float mx = std::max(a, std::max(b, c));
+      if (mx - mn < kAabbEps) {
+        mn -= kAabbEps;
+        mx += kAabbEps;
+      }
+      refs[i].lo[ax] = mn;
+      refs[i].hi[ax] = mx;
+    }
+  }
+
+  SbvhCtx ctx;
+  ctx.leaf_size = leaf_size;
+  ctx.max_refs = max_refs;
+  ctx.ref_count = n;
+  float rb_lo[3], rb_hi[3];
+  ctx.root_area = std::max(ref_union_area(refs, rb_lo, rb_hi), 1e-12f);
+  ctx.nodes.reserve(2 * n);
+  ctx.leaf_pool.reserve(n + n / 4);
+  sbvh_build_rec(ctx, std::move(refs));
+
+  // Subtree sizes (children have larger build ids than their parent).
+  const int64_t bn = static_cast<int64_t>(ctx.nodes.size());
+  std::vector<int64_t> size(bn, 1);
+  for (int64_t i = bn - 1; i >= 0; --i)
+    if (ctx.nodes[i].left >= 0)
+      size[i] = 1 + size[ctx.nodes[i].left] + size[ctx.nodes[i].right];
+
+  // Pre-order flatten with skip links (same as rt_build_bvh_sah, but the
+  // emitted order entries come from the duplicated leaf-ref pool and
+  // node bounds are the CLIPPED reference unions).
+  struct FI {
+    int64_t bnode, skip;
+  };
+  std::vector<FI> fstack;
+  fstack.push_back({0, size[0]});
+  int64_t next_node = 0, next_tri = 0;
+  while (!fstack.empty()) {
+    FI f = fstack.back();
+    fstack.pop_back();
+    const SNode& nd = ctx.nodes[f.bnode];
+    const int64_t my = next_node++;
+    for (int ax = 0; ax < 3; ++ax) {
+      node_min[my * 3 + ax] = nd.bmin[ax];
+      node_max[my * 3 + ax] = nd.bmax[ax];
+    }
+    node_skip[my] = static_cast<int32_t>(f.skip);
+    if (nd.left < 0) {
+      node_tri[my] = static_cast<int32_t>(next_tri);
+      node_ntri[my] = static_cast<int32_t>(nd.count);
+      node_data[my] = -static_cast<int32_t>(next_tri + 1);
+      node_count[my] = -1;
+      for (int64_t i = 0; i < nd.count; ++i)
+        order[next_tri + i] = ctx.leaf_pool[nd.first + i].tri;
+      next_tri += nd.count;
+    } else {
+      const int64_t right_index = my + 1 + size[nd.left];
+      node_tri[my] = -1;
+      node_ntri[my] = 0;
+      node_data[my] = static_cast<int32_t>(my + 1);
+      node_count[my] = static_cast<int32_t>(right_index);
+      fstack.push_back({nd.right, f.skip});
+      fstack.push_back({nd.left, right_index});
+    }
+  }
+  return next_node;
+}
+
+// ---------------------------------------------------------------------------
 // Cluster packing for the packet tracer (FastScene layout): leaves of the
 // (leaf_size=8) BVH into [L, 128] rows of 8x16 floats
-// (v0 v1 v2 albedo type pad3), using the flatten order.
+// (v0, e1=v1-v0, e2=v2-v0, albedo, type, unit geometric normal), using the
+// flatten order. Precomputing the Möller–Trumbore edges and the normal at
+// pack time removes ~20 scalar ops per triangle from every Pallas leaf
+// visit (the kernels' per-visit scalar cost dominates — PERF_NOTES.md).
 // verts: [n,3,3] source tris; mats: [n,4]; outputs preallocated.
 // ---------------------------------------------------------------------------
 void rt_pack_clusters(const float* verts, const float* mats, int64_t n,
@@ -506,12 +899,31 @@ void rt_pack_clusters(const float* verts, const float* mats, int64_t n,
                      tri_stride;
     for (int32_t j = 0; j < count; ++j) {
       const int64_t src = order[start + j];
+      const float* v = verts + src * 9;
       float* t = row + j * tri_stride;
-      std::memcpy(t, verts + src * 9, 9 * sizeof(float));
+      float e1[3], e2[3];
+      for (int ax = 0; ax < 3; ++ax) {
+        t[ax] = v[ax];                    // v0
+        e1[ax] = v[3 + ax] - v[ax];
+        e2[ax] = v[6 + ax] - v[ax];
+        t[3 + ax] = e1[ax];
+        t[6 + ax] = e2[ax];
+      }
       t[9] = mats[src * 4 + 0];
       t[10] = mats[src * 4 + 1];
       t[11] = mats[src * 4 + 2];
       t[12] = mats[src * 4 + 3];
+      // Unit geometric normal. Bit-matches the NumPy packer
+      // (builder.pack_tri_records): same op order, division not
+      // reciprocal; the Makefile sets -ffp-contract=off so no FMA
+      // contraction diverges from NumPy's rounding.
+      float nx = e1[1] * e2[2] - e1[2] * e2[1];
+      float ny = e1[2] * e2[0] - e1[0] * e2[2];
+      float nz = e1[0] * e2[1] - e1[1] * e2[0];
+      float len = std::sqrt(nx * nx + ny * ny + nz * nz);
+      t[13] = len > 0.0f ? nx / len : 0.0f;
+      t[14] = len > 0.0f ? ny / len : 0.0f;
+      t[15] = len > 0.0f ? nz / len : 0.0f;
     }
     ++li;
   }

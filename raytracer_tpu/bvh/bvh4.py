@@ -1,4 +1,4 @@
-"""Binary BVH -> 4-wide BVH collapse (host side).
+"""Binary BVH -> wide-BVH collapse (host side; production width is 8).
 
 The Pallas traversal pays per-*visit* scalar costs (node-row DMA wait,
 SMEM loads, loop overhead) while extra vector slab tests are nearly free
@@ -11,10 +11,14 @@ rid of packets"/'08-style SIMD BVHs): take a binary internal node's two
 children and repeatedly expand the largest-surface-area internal slot
 until 4 slots are filled or all are leaves.
 
-Layout: one BVH4 node = 64 floats = 4 children x [min(3) max(3) meta
-pad]; two nodes per 128-float row (the proven SMEM-DMA shape,
-kernels/pallas_trace.py). meta is a float-encoded exact int: > 0
-internal (bvh4 id + 1), < 0 leaf (-(cluster id + 1)), 0 empty slot.
+Layout: one wide node = width x 16 floats = width children x [min(3)
+max(3) meta pad9]; at the production width 8 that is ONE node per
+128-float row (the proven SMEM-DMA shape, kernels/pallas_trace.py), at
+width 4 two nodes per row. meta is a float-encoded exact int: > 0
+internal (wide id + 1), < 0 leaf (-(cluster id + 1)), 0 empty slot.
+The production width is single-sourced as
+``core.fast_types.WIDE_WIDTH`` — the traversal kernel's row indexing
+(row == wide node id) is only valid at width 8.
 
 Reference analogue: the flat pre-order binary layout mirrors
 ``BVHFlattener.java``; the 4-wide collapse has no reference counterpart
@@ -29,6 +33,14 @@ NODE4_FLOATS = 64
 PACK_LANES = 128
 
 
+# SMEM traversal stack bound (kernels/pallas_trace.STACK4_CAP /
+# kernels/pallas_mega.STACK_CAP): each visit pops 1 and pushes at most
+# `width` entries, so the stack never exceeds (width-1)*depth + 1. The
+# collapse asserts the built tree respects it — a degenerate tree would
+# otherwise silently overwrite SMEM past the stack.
+STACK_CAP = 256
+
+
 def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
     """Collapse pre-order binary ``nodes8`` into BVH-``width`` arrays.
 
@@ -37,7 +49,8 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
         (col7 >= 0 leaf cluster id; < 0 -> left child = -(col7)-1).
       num_nodes: valid prefix length.
       width: children per wide node (4 -> two 64-float nodes per row,
-        8 -> one 128-float node per row).
+        8 -> one 128-float node per row; production uses 8, see
+        ``core.fast_types.WIDE_WIDTH``).
     Returns:
       (packed f32[R, 128], n_wide): R = ceil(n_wide * width / 16) rows.
     """
@@ -49,15 +62,20 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
         d = np.maximum(b[3:6] - b[0:3], 0.0)
         return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
-    out = []      # bvh4 id -> list of ('leaf'|'int', id, bounds)
-    b2q = {}      # binary internal id -> bvh4 id
+    out = []      # wide id -> list of ('leaf'|'int', id, bounds)
+    b2q = {}      # binary internal id -> wide id
+    depth = {}    # binary internal id -> wide-tree depth
+    max_depth = 0
     pending = []
 
     def create(b):
+        nonlocal max_depth
         if b in b2q:
             return b2q[b]
         my = len(out)
         b2q[b] = my
+        d_my = depth.get(b, 0)
+        max_depth = max(max_depth, d_my)
         left = b + 1
         slots = [left, skip[left]]
         while len(slots) < width:
@@ -75,6 +93,7 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
                 ent.append(("leaf", int(col7[s]), nodes[s, :6]))
             else:
                 ent.append(("int", int(s), nodes[s, :6]))
+                depth[int(s)] = d_my + 1
                 pending.append(int(s))
         out.append(ent)
         return my
@@ -85,6 +104,15 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
         create(0)
         while pending:
             create(pending.pop())
+
+    # SMEM stack safety (ADVICE r2): worst-case stack occupancy during the
+    # kernel's depth-first walk.
+    worst_sp = (width - 1) * (max_depth + 1) + 1
+    if worst_sp > STACK_CAP:
+        raise ValueError(
+            f"wide-BVH depth {max_depth + 1} would need {worst_sp} stack "
+            f"slots > STACK_CAP {STACK_CAP}; refuse to build a table that "
+            "can overflow the kernel's SMEM stack")
 
     n4 = len(out)
     node_floats = 16 * width

@@ -188,6 +188,86 @@ def _range_minmax(lo, hi, first, last):
     return jnp.minimum(a_min, b_min), jnp.maximum(a_max, b_max)
 
 
+def emit_wide_device(left, right, parent, all_lo, all_hi, l: int):
+    """Jitted 8-wide emit from the Karras binary tree (VERDICT r2 #3).
+
+    The host pipeline collapses its binary tree into the 8-wide table the
+    fast Pallas traversal consumes (bvh/bvh4.py); live-edit scenes built
+    on-device used to skip this and fall back to the ~2x slower binary
+    kernel. This emits the same table layout with dense vector ops only:
+
+    * a binary internal node is a *wide node* iff its depth % 3 == 0
+      (depth <= ~64: Karras delta strictly increases along any root-leaf
+      path, so pointer-doubling depth converges in 7 passes);
+    * wide node (depth d) slots = its up-to-8 descendants reached by the
+      3-step left/right path given by the slot bits; a leaf reached early
+      fills only the slot whose remaining bits are 0 (no duplicates); the
+      3-levels-down internal descendants have depth d+3 % 3 == 0, i.e.
+      are themselves wide nodes — the wide tree is closed;
+    * rows indexed by wide id (cumsum over the wide mask), root = row 0.
+
+    Unlike the host collapse (largest-surface-area slot expansion) this is
+    a fixed-shape structural collapse — exp21 measured collapse *policy*
+    as perf-neutral, so the cheap jittable rule is the right trade.
+    SMEM-stack safety: wide depth <= ~23, worst sp = 7*23+1 << 256
+    (bvh4.STACK_CAP).
+
+    Args: left/right i32[L-1] global child ids (internal < L-1, leaves
+    >= L-1), parent i32[2L-2... M], all_lo/all_hi f32[M, 3] binary node
+    bounds (internal 0..L-2 then leaves). Returns (table f32[L-1, 128],
+    n_wide i32): rows past n_wide are zero and never visited.
+    """
+    leaf_base = l - 1
+    m = 2 * l - 1
+
+    # Depth of every node via pointer doubling over parent links.
+    jump = parent
+    depth = (parent >= 0).astype(jnp.int32)
+
+    def dbl(_, c):
+        jump, depth = c
+        safe = jnp.maximum(jump, 0)
+        depth = depth + jnp.where(jump >= 0, depth[safe], 0)
+        jump = jnp.where(jump >= 0, jump[safe], -1)
+        return jump, depth
+
+    _, depth = jax.lax.fori_loop(0, 7, dbl, (jump, depth))  # 2^7 >= max
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (leaf_base, 1), 0
+                                   ).reshape(leaf_base)
+    w = depth[:leaf_base] % 3 == 0
+    wide_id = jnp.cumsum(w.astype(jnp.int32)) - 1          # [L-1]
+
+    slot_cols = []
+    for s in range(8):
+        cur = ids
+        at_leaf = jnp.zeros((leaf_base,), bool)
+        valid = jnp.ones((leaf_base,), bool)
+        for k in (2, 1, 0):
+            bit = (s >> k) & 1
+            if bit:
+                valid = valid & ~at_leaf
+            safe = jnp.clip(cur, 0, leaf_base - 1)
+            child = right[safe] if bit else left[safe]
+            cur = jnp.where(at_leaf, cur, child)
+            at_leaf = cur >= leaf_base
+        meta = jnp.where(
+            at_leaf,
+            -(cur - leaf_base) - 1,
+            wide_id[jnp.clip(cur, 0, leaf_base - 1)] + 1)
+        meta = jnp.where(valid, meta, 0).astype(jnp.float32)
+        lo = all_lo[cur]                                    # [L-1, 3]
+        hi = all_hi[cur]
+        slot_cols.append(jnp.concatenate(
+            [lo, hi, meta[:, None],
+             jnp.zeros((leaf_base, 9), jnp.float32)], axis=1))
+
+    rows = jnp.stack(slot_cols, axis=1).reshape(leaf_base, 128)
+    table = jnp.zeros((leaf_base, 128), jnp.float32).at[
+        jnp.where(w, wide_id, leaf_base)].set(rows, mode="drop")
+    return table, jnp.sum(w.astype(jnp.int32))
+
+
 def build_fast_scene_device(verts: jnp.ndarray,
                             mats: jnp.ndarray) -> FastScene:
     """Jittable scene build: [T,3,3] verts + [T,4] mats -> FastScene.
@@ -246,6 +326,12 @@ def build_fast_scene_device(verts: jnp.ndarray,
             jnp.array([[0]], jnp.int32),
         ], axis=1)
         nodes8 = jax.lax.bitcast_convert_type(nodes8_i, jnp.float32)
+        # Wide table: one node whose slot 0 is leaf cluster 0.
+        row = jnp.concatenate([
+            cl_lo[0], cl_hi[0], jnp.full((1,), -1.0, jnp.float32),
+            jnp.zeros((121,), jnp.float32)])
+        nodes_wide = row[None, :]
+        n_wide = jnp.int32(1)
     else:
         left, right, first, last, parent = build_lbvh_tables(cl_code)
 
@@ -295,11 +381,24 @@ def build_fast_scene_device(verts: jnp.ndarray,
         ], axis=1)
         nodes8 = jax.lax.bitcast_convert_type(nodes8_i, jnp.float32)
 
-    # --- pack clusters: [L, 128] rows (v0 v1 v2 albedo type pad3) ---
+        # 8-wide table for the fast Pallas traversal (same layout as the
+        # host collapse) — the live-edit path no longer falls back to the
+        # binary kernel.
+        nodes_wide, n_wide = emit_wide_device(left, right, parent,
+                                              all_lo, all_hi, l)
+
+    # --- pack clusters: [L, 128] rows (v0 e1 e2 albedo type normal) ---
+    # Same precomputed record as the host packers (core/fast_types.py):
+    # MT edges + unit geometric normal baked at build time.
     v_s = jnp.take(verts.reshape(t, 9), order, axis=0)
     m_s = jnp.take(mats, order, axis=0)
-    row16 = jnp.concatenate([
-        v_s, m_s, jnp.zeros((t, 3), jnp.float32)], axis=1)  # [T, 16]
+    v0 = v_s[:, 0:3]
+    e1 = v_s[:, 3:6] - v0
+    e2 = v_s[:, 6:9] - v0
+    nrm = jnp.cross(e1, e2)
+    nlen = jnp.sqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True))
+    nrm = jnp.where(nlen > 0.0, nrm / jnp.where(nlen > 0.0, nlen, 1.0), 0.0)
+    row16 = jnp.concatenate([v0, e1, e2, m_s, nrm], axis=1)  # [T, 16]
     clusters = row16.reshape(l, CLUSTER_ROW)
 
     return FastScene(
@@ -307,6 +406,8 @@ def build_fast_scene_device(verts: jnp.ndarray,
         clusters=clusters,
         num_nodes=jnp.int32(m),
         num_triangles=jnp.int32(t),
+        nodes4=nodes_wide,
+        num_nodes4=n_wide,
     )
 
 

@@ -8,8 +8,14 @@ row-rate limited and ~4x faster on tables under ~16k rows, and rows up to
   bitcast<i32> leaf/cluster id (-1 for internal). leaf_size=8 keeps
   M = 2*ceil(T/8)-1 under 16k rows for 50k-triangle scenes.
 * ``clusters`` f32[L, 128]: 8 triangles x 16 floats each
-  (v0.xyz, v1.xyz, v2.xyz, albedo.rgb, material type, 3 pad) — one fat-row
-  gather fetches geometry *and* shading data for a whole leaf.
+  (v0.xyz, e1.xyz, e2.xyz, albedo.rgb, material type, n.xyz) — one fat-row
+  gather fetches geometry *and* shading data for a whole leaf. The MT edge
+  vectors e1 = v1-v0, e2 = v2-v0 and the *unit geometric normal*
+  n = normalize(cross(e1, e2)) are precomputed at pack time: a leaf visit
+  in the Pallas kernels previously spent ~20 scalar ops per triangle
+  recomputing them (subs + cross + sqrt + div) — per-visit scalar cost is
+  the traversal's bottleneck (PERF_NOTES.md). Degenerate padding
+  triangles pack as all-zeros (det == 0, never hit).
 
 This is the TPU answer to the reference's three separate SSBOs
 (vertex/material/BVH, ``engine/VulkanEngine.java:335-359``).
@@ -27,6 +33,11 @@ Array = Any
 CLUSTER_SIZE = 8      # triangles per leaf
 TRI_STRIDE = 16       # floats per packed triangle
 CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128
+# Children per wide-BVH node (single source; bvh/bvh4.py builds it and
+# kernels/pallas_trace.py consumes it). The traversal kernel's row
+# indexing (packed row == wide node id) is only valid at width 8: one
+# node = 8 children x 16 floats = one 128-float row.
+WIDE_WIDTH = 8
 
 
 @_register
@@ -34,18 +45,20 @@ CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128
 class FastScene:
     """Device-resident packed scene for the packet tracer.
 
-    ``nodes4`` (optional) is the 4-wide collapse of the same tree
-    (bvh/bvh4.py): f32[Rpad, 128], two 64-float BVH4 nodes per row.
-    Host builds provide it (the Pallas traversal is ~2x faster on it);
-    the on-device LBVH rebuild leaves it None and traversal falls back
-    to the binary packed path.
+    ``nodes4`` (historical name; the table is ``WIDE_WIDTH``-wide, i.e.
+    8-wide in production) is the wide collapse of the same tree
+    (bvh/bvh4.py): f32[Rpad, 128], ONE 8-child node per 128-float row,
+    child meta floats encoding >0 internal wide id + 1 / <0
+    -(cluster id + 1) / 0 empty. Host builds and the on-device LBVH
+    rebuild (bvh/lbvh.py wide emit) both provide it; when absent the
+    Pallas traversal falls back to the binary packed path.
     """
 
     nodes8: Array        # f32[Mpad, 8]
     clusters: Array      # f32[Lpad, 128]
     num_nodes: Array     # i32 scalar
     num_triangles: Array  # i32 scalar
-    nodes4: Array | None = None   # f32[Rpad, 128] or None
+    nodes4: Array | None = None   # f32[Rpad, 128] wide-BVH table or None
     num_nodes4: Array | None = None  # i32 scalar or None
 
     @property

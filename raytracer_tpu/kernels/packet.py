@@ -51,8 +51,8 @@ def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
     Access pattern matters enormously on this backend: reshape+trailing-dim
     slices of the gathered row are ~84x faster than per-column extracts
     (PERF_NOTES.md), so triangle data is handled AoS ([N, 8, 16]) while the
-    ray state stays SoA. Geometric normals and materials are per-triangle
-    (ray-independent) and computed once per cluster row, not per ray; the
+    ray state stays SoA. MT edges and unit geometric normals are
+    precomputed in the cluster record (pack time, core/fast_types.py); the
     closest-of-8 selection uses argmin + one-hot over the trailing 8-axis
     (argmin takes the lowest index on ties = GLSL's sequential first-wins).
 
@@ -62,12 +62,9 @@ def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
     n = crow.shape[0]
     tris = crow.reshape(n, CLUSTER_SIZE, TRI_STRIDE)
     v0 = tris[..., 0:3]                        # [N, 8, 3]
-    e1 = tris[..., 3:6] - v0
-    e2 = tris[..., 6:9] - v0
-
-    # Per-triangle geometric normal (unnormalized) — ray-independent.
-    n_raw = jnp.cross(e1, e2)                  # [N, 8, 3]
-    n_len2 = jnp.sum(n_raw * n_raw, axis=-1)   # [N, 8]
+    e1 = tris[..., 3:6]                        # precomputed v1 - v0
+    e2 = tris[..., 6:9]                        # precomputed v2 - v0
+    n_pre = tris[..., 13:16]                   # precomputed unit normal
 
     packet = ray_o[0].ndim == 2  # [G, NG] vs [P]
     if packet:
@@ -111,9 +108,7 @@ def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
     def sel1(x):  # x: [N, 8] -> [...]
         return jnp.sum(jnp.where(onehot, tri_b(x), 0.0), axis=-1)
 
-    n_sel = sel3(n_raw)
-    n_len = jnp.sqrt(sel1(n_len2))
-    n_unit = n_sel / jnp.where(upd, n_len, 1.0)[..., None]
+    n_unit = sel3(n_pre)  # already unit length (pack-time normalize)
     if cfg.shading != "fixed_light":
         # C14 flips toward the ray; C12 keeps the raw winding normal.
         flip = jnp.sum(jnp.squeeze(rd, -2) * n_unit, axis=-1) > 0.0
@@ -502,19 +497,18 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
             p_pad = -(-p // grain) * grain
             i = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1),
                                          0).reshape(p_pad)
-            if tile is not None and p_pad == p:
+            i_mod = i % p  # pad tail wraps; dead either way
+            alive = i < p
+            if tile is not None:
                 th, tw = tile
                 per = th * tw
-                t_id, off = i // per, i % per
+                t_id, off = i_mod // per, i_mod % per
                 tiles_x = w // tw
                 xx = (t_id % tiles_x) * tw + off % tw
                 yy_local = (t_id // tiles_x) * th + off // tw
-                alive = jnp.ones((p_pad,), bool)
             else:
-                i_mod = i % p
                 xx = i_mod % w
                 yy_local = i_mod // w
-                alive = i < p
             yy = yy_local + jnp.int32(y_offset)
             pixel = (yy * w + xx).astype(jnp.uint32)
             seed2 = initial_seed(cam, cfg, pixel, sample_index)
@@ -544,13 +538,14 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     b0 = _os.environ.get("RAYTPU_B0", default_b0)
 
     if b0 == "pallas":
-        # Primary traversal in the Pallas per-tile kernel. Preferred ray
-        # order is tile-major (consecutive BLOCK rays = one compact pixel
-        # tile); frames whose dimensions don't tile (e.g. 1080p with
-        # 4096-ray tiles) fall back to raster order padded with dead rays
-        # — rows of a wide frame are still coherent, and whole-dead pad
-        # tiles exit the Pallas grid in one step. Results are deposited
-        # back to raster order by pixel id either way.
+        # Primary traversal in the Pallas per-tile kernel. Ray order is
+        # tile-major (consecutive BLOCK rays = one compact pixel tile);
+        # pick_tile guarantees p % (th*tw) == 0, so this works even when
+        # the frame doesn't divide the pad grain (e.g. 1080p): the pad
+        # tail wraps to valid pixels as dead rays, and whole-dead pad
+        # tiles exit the Pallas grid in one step. Only frames with no
+        # dividing tile at all fall back to raster order. Results are
+        # deposited back to raster order by pixel id either way.
         from raytracer_tpu.kernels.pallas_trace import (BLOCK,
                                                         pallas_traverse,
                                                         pick_tile)
@@ -562,19 +557,18 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
         grain = max(BLOCK, BBLOCK)
         p_pad = -(-p // grain) * grain
         i = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0).reshape(p_pad)
-        if tile is not None and p_pad == p:
+        i_mod = i % p  # pad tail wraps to valid pixels; dead either way
+        alive = i < p
+        if tile is not None:
             th, tw = tile
             per = th * tw
-            t_id, off = i // per, i % per
+            t_id, off = i_mod // per, i_mod % per
             tiles_x = w // tw
             xx = (t_id % tiles_x) * tw + off % tw
             yy_local = (t_id // tiles_x) * th + off // tw
-            alive = jnp.ones((p_pad,), bool)
         else:
-            i_mod = i % p
             xx = i_mod % w
             yy_local = i_mod // w
-            alive = i < p
         yy = yy_local + jnp.int32(y_offset)
         pixel = (yy * w + xx).astype(jnp.uint32)
         seed = initial_seed(cam, cfg, pixel, sample_index)
@@ -637,6 +631,8 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 outs = bounce_megakernel(
                     scene.nodes4, scene.clusters, num4, blocks, bcap,
                     skyf, 8, float(cfg.fuzz), bool(cfg.emissive_emits),
+                    t_min=float(cfg.t_min), t_max=float(cfg.t_max),
+                    det_eps=float(cfg.det_eps),
                     interpret=jax.default_backend() != "tpu")
                 cs = tuple(outs[6 + i].reshape(p_pad) for i in range(3))
                 rays = jnp.sum(outs[14])

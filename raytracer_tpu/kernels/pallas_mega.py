@@ -1,17 +1,21 @@
-"""Whole bounce chain in one Pallas call: the per-tile megakernel.
+"""Traverse + shade in one Pallas call: the per-tile bounce kernel.
 
 The TPU analogue of the reference megakernel's per-workgroup bounce loop
-(``compute_dynamic_ray.comp:179-210``): after primaries are traced and
-shaded (and the rays sorted once by the pd5 key), each tile loops
-traverse -> shade -> respawn internally until its rays die or hit the
-bounce cap, removing every per-round sort, shade fusion, and dispatch.
+(``compute_dynamic_ray.comp:179-210``): each tile loops traverse ->
+shade -> respawn internally until its rays die or hit the bounce cap
+``bcap``, removing per-round sort, shade fusion, and dispatch overhead.
 
-NOT the default: at full frame it measured 2.75 vs 6.11 FPS against the
-sorted wavefront rounds — without in-kernel compaction every tile
-re-walks until its last ray dies, which swamps the per-round savings
-(exp20; selected by RAYTPU_BOUNCE=pmega). Kept as the base for a future
-occupancy-compacting variant and as the proof that the full material
-model runs inside Mosaic.
+Two production uses:
+* ``bcap=1`` — ONE fused round for the sorted-wavefront path
+  (kernels/wavefront.py, the default bounce engine): the per-round sort/
+  compaction stays in XLA, but traversal + the whole material model run
+  in one kernel, so ray state makes a single HBM round trip per round
+  instead of one per shade fusion.
+* ``bcap=max_bounces-1`` — the whole chain after ONE sort
+  (RAYTPU_BOUNCE=pmega). Measured SLOWER at full frame (2.75 vs
+  6.11 FPS, exp20): without in-kernel compaction every tile re-walks
+  until its last ray dies. Kept as the base for a future
+  occupancy-compacting variant.
 
 Shading is the full material model ported to Mosaic: PCG32 (vector u32
 ops incl. the variable-amount shift, ``compute_dynamic_ray.comp:52-56``),
@@ -39,6 +43,8 @@ from raytracer_tpu.core.fast_types import CLUSTER_SIZE, TRI_STRIDE
 from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
 
 LANES = 128
+# Keep in sync with bvh/bvh4.py STACK_CAP: the collapse refuses to build
+# trees whose worst-case stack occupancy ((WIDTH-1)*depth + 1) exceeds it.
 STACK_CAP = 256
 WIDTH = 8
 NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
@@ -222,23 +228,12 @@ def make_kernel(fuzz_const, emissive_emits):
                                 b = k * TRI_STRIDE
                                 s = (lambda j, b=b, cc=cc:
                                      crow_s[cc % 4, b + j])
+                                # Precomputed record: v0, e1, e2, albedo,
+                                # type, unit normal (core/fast_types.py).
                                 v0x, v0y, v0z = s(0), s(1), s(2)
-                                e1x = s(3) - v0x
-                                e1y = s(4) - v0y
-                                e1z = s(5) - v0z
-                                e2x = s(6) - v0x
-                                e2y = s(7) - v0y
-                                e2z = s(8) - v0z
-                                nrx = e1y * e2z - e1z * e2y
-                                nry = e1z * e2x - e1x * e2z
-                                nrz = e1x * e2y - e1y * e2x
-                                nlen = jnp.sqrt(nrx * nrx + nry * nry
-                                                + nrz * nrz)
-                                inl = 1.0 / jnp.where(nlen > 0.0, nlen,
-                                                      1.0)
-                                nux = nrx * inl
-                                nuy = nry * inl
-                                nuz = nrz * inl
+                                e1x, e1y, e1z = s(3), s(4), s(5)
+                                e2x, e2y, e2z = s(6), s(7), s(8)
+                                nux, nuy, nuz = s(13), s(14), s(15)
                                 pvx = rdy * e2z - rdz * e2y
                                 pvy = rdz * e2x - rdx * e2z
                                 pvz = rdx * e2y - rdy * e2x
@@ -381,19 +376,22 @@ def make_kernel(fuzz_const, emissive_emits):
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
+                                             "t_min", "t_max", "det_eps",
                                              "interpret"))
 def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
-                fuzz, emis, interpret=False):
+                fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
+                interpret=False):
     """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
     seed(i32) act(f32). Returns 15 blocks: advanced state + per-lane
-    rays-traced counts."""
+    rays-traced counts. t_min/t_max/det_eps come from the caller's
+    RenderConfig so this path cannot diverge from the wave/mega paths."""
     rows = state[0].shape[0]
     grid = rows // sub
     block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(make_kernel(fuzz, emis),
-                               t_min=1e-3, t_max=1e4, det_eps=1e-5)
+                               t_min=t_min, t_max=t_max, det_eps=det_eps)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     out_shape = (outf,) * 12 + (outi,) + (outf,) * 2

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.core.fast_types import CLUSTER_SIZE, FastScene, TRI_STRIDE
+from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, FastScene,
+                                           TRI_STRIDE, WIDE_WIDTH)
 from raytracer_tpu.core.types import RenderConfig
 from raytracer_tpu.kernels.tracer import TraversalResult
 
@@ -152,17 +153,12 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
                 def s(j, b=b):  # scalar load (broadcasts to vregs)
                     return crow_smem[b + j]
 
+                # Record: v0, e1, e2, albedo, type, unit normal — edges and
+                # normal precomputed at pack time (core/fast_types.py).
                 v0x, v0y, v0z = s(0), s(1), s(2)
-                e1x, e1y, e1z = s(3) - v0x, s(4) - v0y, s(5) - v0z
-                e2x, e2y, e2z = s(6) - v0x, s(7) - v0y, s(8) - v0z
-
-                # Per-triangle geometric normal: ray-independent [1,1] math.
-                nrx = e1y * e2z - e1z * e2y
-                nry = e1z * e2x - e1x * e2z
-                nrz = e1x * e2y - e1y * e2x
-                nlen = jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz)
-                inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
-                nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
+                e1x, e1y, e1z = s(3), s(4), s(5)
+                e2x, e2y, e2z = s(6), s(7), s(8)
+                nux, nuy, nuz = s(13), s(14), s(15)
 
                 # Möller–Trumbore vs all 1024 rays
                 # (compute_dynamic_ray.comp:105-129).
@@ -211,7 +207,7 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
     jax.lax.while_loop(cond, body, (node0, jnp.int32(-1)))
 
 
-WIDE = 8  # children per wide-BVH node: one node = one 128-float row
+WIDE = WIDE_WIDTH  # children per wide node: one node = one 128-float row
 
 # Batcher odd-even merge sort network for 8 elements (19 comparators) —
 # used to order child pushes near-first by centroid projection.
@@ -363,18 +359,12 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                         def s(j, b=b, cc=cc):
                             return crow_smem[cc % 4, b + j]
 
+                        # Precomputed record: v0, e1, e2, albedo, type,
+                        # unit normal (pack time, core/fast_types.py).
                         v0x, v0y, v0z = s(0), s(1), s(2)
-                        e1x, e1y, e1z = (s(3) - v0x, s(4) - v0y,
-                                         s(5) - v0z)
-                        e2x, e2y, e2z = (s(6) - v0x, s(7) - v0y,
-                                         s(8) - v0z)
-                        nrx = e1y * e2z - e1z * e2y
-                        nry = e1z * e2x - e1x * e2z
-                        nrz = e1x * e2y - e1y * e2x
-                        nlen = jnp.sqrt(nrx * nrx + nry * nry
-                                        + nrz * nrz)
-                        inl = 1.0 / jnp.where(nlen > 0.0, nlen, 1.0)
-                        nux, nuy, nuz = nrx * inl, nry * inl, nrz * inl
+                        e1x, e1y, e1z = s(3), s(4), s(5)
+                        e2x, e2y, e2z = s(6), s(7), s(8)
+                        nux, nuy, nuz = s(13), s(14), s(15)
 
                         pvx = rdy * e2z - rdz * e2y
                         pvy = rdz * e2x - rdx * e2z
@@ -418,7 +408,10 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                                     jnp.int32(0), jnp.bool_(False)))
 
 
-STACK4_CAP = 256  # >= 3 * max BVH4 depth + 1; 1 KB of SMEM (2 KB proven)
+# SMEM stack capacity: each visit pops 1 and pushes <= WIDE entries, so
+# occupancy <= (WIDE-1)*depth + 1. bvh/bvh4.py (STACK_CAP there) refuses
+# to build a wide table deeper than this bound; keep the two in sync.
+STACK4_CAP = 256  # 1 KB of SMEM (2 KB proven)
 
 
 @functools.partial(jax.jit, static_argnames=("sublanes", "t_min", "t_max",
@@ -535,6 +528,12 @@ def pallas_traverse(scene: FastScene, ray_o, ray_d, active,
     ``node_src``: "pack" (default) fetches node rows via change-detected
     SMEM DMAs from a 16-node packed table; "extract" reads bounds as VMEM
     lane extracts (RAYTPU_NODE_SRC overrides the default for A/B).
+
+    NOTE on the env knobs: RAYTPU_NODE_SRC and RAYTPU_TRAVERSE are read at
+    *trace time*. Once a caller's jit cache is warm, changing them has no
+    effect, and two traces in one process can disagree with the current
+    env. They are A/B measurement switches, deliberately not part of
+    RenderConfig; set them before the first render of the process.
     """
     sublanes = sublanes or PRIMARY_SUBLANES
     if node_src is None:

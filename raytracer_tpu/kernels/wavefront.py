@@ -12,8 +12,17 @@ and pays HBM-gather rates for every node fetch. Here each bounce is a
      directionally coherent tiles for the per-tile union walk, and dead
      rays packed at the tail so whole-dead tiles exit the Pallas grid in
      one step.
-  2. traverse with the VMEM-resident Pallas kernel (kernels/pallas_trace).
-  3. shade in XLA (masked elementwise + RNG; kernels/tracer.shade).
+  2. traverse + shade:
+     * fused (default when the scene carries the wide-BVH table): ONE
+       Pallas call per round — kernels/pallas_mega.bounce_round, the
+       bounce megakernel capped at a single bounce. The ray state makes
+       one HBM round trip per round instead of one per shade fusion,
+       retiring the per-round XLA fusion overhead (~31 ms/frame at 720p,
+       round-2 device trace) while keeping the sort/compaction that the
+       full-chain megakernel lacks (RAYTPU_BOUNCE=pmega re-walks dying
+       tiles — 2.75 vs 6.11 FPS, exp20).
+     * split (RAYTPU_WAVE=split, or scenes without nodes4): traverse with
+       kernels/pallas_trace, then shade in XLA (kernels/tracer.shade).
 
 Because the sort is also a compaction, level shrinking is a *static slice*:
 once the live count fits in half the width, the next round's sort leaves
@@ -129,14 +138,26 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
+    # Fused trace+shade rounds need the wide-BVH table; RAYTPU_WAVE=split
+    # restores the pallas-traverse + XLA-shade round for A/B.
+    fused = (getattr(scene, "nodes4", None) is not None
+             and os.environ.get("RAYTPU_WAVE", "fused") == "fused")
+    if fused:
+        from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
+
+        num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+        one_cap = jnp.ones((1,), jnp.int32)
+        skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+        fused_interpret = (jax.default_backend() != "tpu"
+                           if interpret is None else interpret)
 
     out = (jnp.zeros((p,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
 
     def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays):
-        """Sort -> pallas traverse -> shade. Returns advanced state in
-        sorted order."""
+        """Sort -> (fused pallas trace+shade | pallas traverse -> XLA
+        shade). Returns advanced state in sorted order."""
         key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
@@ -155,11 +176,34 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         alive = ipack[:, 2] > 0
 
         rays = rays + jnp.sum(alive.astype(jnp.float32))
-        res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
-                              interpret=interpret,
-                              sublanes=BOUNCE_SUBLANES)
-        ray_o, ray_d, color, atten, seed, alive = shade(
-            res, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg)
+        if fused:
+            w = ray_o[0].shape[0]
+            blocks = tuple(
+                c.reshape(-1, BLOCK_LANES)
+                for c in (*ray_o, *ray_d, *color, *atten)) + (
+                jax.lax.bitcast_convert_type(
+                    seed, jnp.int32).reshape(-1, BLOCK_LANES),
+                alive.astype(jnp.float32).reshape(-1, BLOCK_LANES))
+            outs = bounce_megakernel(
+                scene.nodes4, scene.clusters, num4, blocks, one_cap,
+                skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
+                bool(cfg.emissive_emits), t_min=float(cfg.t_min),
+                t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
+                interpret=fused_interpret)
+            flat = lambda i: outs[i].reshape(w)
+            ray_o = (flat(0), flat(1), flat(2))
+            ray_d = (flat(3), flat(4), flat(5))
+            color = (flat(6), flat(7), flat(8))
+            atten = (flat(9), flat(10), flat(11))
+            seed = jax.lax.bitcast_convert_type(outs[12], jnp.uint32
+                                                ).reshape(w)
+            alive = flat(13) > 0.5
+        else:
+            res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
+                                  interpret=interpret,
+                                  sublanes=BOUNCE_SUBLANES)
+            ray_o, ray_d, color, atten, seed, alive = shade(
+                res, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg)
         return ray_o, ray_d, color, atten, seed, alive, pix, rays
 
     widths = _round_widths(p)

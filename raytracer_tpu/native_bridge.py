@@ -34,14 +34,23 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH):
+        src = os.path.join(_NATIVE_DIR, "raytpu_native.cpp")
+        stale = (not os.path.exists(_SO_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)))
+        if stale:
+            # Always rebuild when the source is newer: a stale .so packing
+            # an old cluster layout would silently corrupt renders.
             try:
                 subprocess.run(["make", "-C", _NATIVE_DIR],
                                check=True, capture_output=True, timeout=120)
             except Exception as e:
-                _log.info("native build unavailable (%s); using NumPy "
-                          "fallbacks", e)
-                return None
+                if not os.path.exists(_SO_PATH):
+                    _log.info("native build unavailable (%s); using NumPy "
+                              "fallbacks", e)
+                    return None
+                _log.warning("native rebuild failed (%s); using existing "
+                             ".so — layout may be stale", e)
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError as e:
@@ -63,6 +72,10 @@ def _load():
             f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
         lib.rt_build_bvh_sah.restype = ctypes.c_int64
         lib.rt_build_bvh_sah.argtypes = lib.rt_build_bvh.argtypes
+        lib.rt_build_bvh_sbvh.restype = ctypes.c_int64
+        lib.rt_build_bvh_sbvh.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
         lib.rt_pack_clusters.restype = None
         lib.rt_pack_clusters.argtypes = [
             f32p, f32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
@@ -101,7 +114,11 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1,
     """Native BVH build -> bvh.build.HostBVH, or None if unavailable.
 
     method "median" reproduces the NumPy reference builder exactly;
-    "sah" builds a binned-SAH tree (same layout, fewer ray visits)."""
+    "sah" builds a binned-SAH tree (same layout, fewer ray visits);
+    "sbvh" adds spatial splits (Stich '09 style) — straddling triangles
+    are duplicated with plane-clipped bounds, so ``order`` may repeat a
+    triangle index and its length (= sum of leaf ntri) can exceed the
+    triangle count, up to a 1.75x duplication budget."""
     lib = _load()
     if lib is None:
         return None
@@ -109,7 +126,11 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1,
 
     tris = np.ascontiguousarray(tris, np.float32)
     n = tris.shape[0]
-    if method == "sah":
+    max_refs = n
+    if method == "sbvh":
+        max_refs = n + max(n * 3 // 4, 64)  # duplication budget
+        m_cap = 2 * max_refs - 1
+    elif method == "sah":
         m_cap = 2 * n - 1  # worst case; actual count returned
         fn = lib.rt_build_bvh_sah
     else:
@@ -122,14 +143,22 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1,
     node_skip = np.empty(m_cap, np.int32)
     node_data = np.empty(m_cap, np.int32)
     node_count = np.empty(m_cap, np.int32)
-    order = np.empty(n, np.int64)
-    m = int(fn(tris.reshape(-1), n, leaf_size,
-               node_min.reshape(-1), node_max.reshape(-1),
-               node_tri, node_ntri, node_skip, node_data, node_count,
-               order))
-    if m <= 0 or (method != "sah" and m != m_cap):
+    order = np.empty(max_refs, np.int64)
+    if method == "sbvh":
+        m = int(lib.rt_build_bvh_sbvh(
+            tris.reshape(-1), n, leaf_size, max_refs,
+            node_min.reshape(-1), node_max.reshape(-1),
+            node_tri, node_ntri, node_skip, node_data, node_count, order))
+    else:
+        m = int(fn(tris.reshape(-1), n, leaf_size,
+                   node_min.reshape(-1), node_max.reshape(-1),
+                   node_tri, node_ntri, node_skip, node_data, node_count,
+                   order))
+    if m <= 0 or (method not in ("sah", "sbvh") and m != m_cap):
         raise RuntimeError(f"native BVH build failed (m={m})")
+    n_refs = int(node_ntri[:m][node_tri[:m] >= 0].sum()) \
+        if method == "sbvh" else n
     return HostBVH(node_min[:m].copy(), node_max[:m].copy(),
                    node_tri[:m].copy(), node_ntri[:m].copy(),
                    node_skip[:m].copy(), node_data[:m].copy(),
-                   node_count[:m].copy(), order)
+                   node_count[:m].copy(), order[:n_refs].copy())

@@ -116,13 +116,16 @@ def build_gpu_scene_from_arrays(
         num_tris, num_nodes = 0, 1
     else:
         bvh = build_bvh(verts, leaf_size=leaf_size)
-        tcap = _bucket(n)
+        # SBVH trees duplicate straddling triangles (order repeats ids),
+        # so the flattened buffers are sized by reference count.
+        n_refs = len(bvh.order)
+        tcap = _bucket(n_refs)
         mcap = _bucket(bvh.num_nodes)
 
         tri_verts = np.zeros((tcap, 3, 3), np.float32)
-        tri_verts[:n] = verts[bvh.order]
+        tri_verts[:n_refs] = verts[bvh.order]
         materials = np.zeros((tcap, 4), np.float32)
-        materials[:n] = mats[bvh.order]
+        materials[:n_refs] = mats[bvh.order]
 
         host = dict(
             node_min=np.full((mcap, 3), _BIG, np.float32),
@@ -138,7 +141,7 @@ def build_gpu_scene_from_arrays(
         host["node_skip"][:bvh.num_nodes] = bvh.node_skip
         host["node_data"][:bvh.num_nodes] = bvh.node_data
         host["node_count"][:bvh.num_nodes] = bvh.node_count
-        num_tris, num_nodes = n, bvh.num_nodes
+        num_tris, num_nodes = n_refs, bvh.num_nodes
 
     put = (lambda x: jax.device_put(jnp.asarray(x), device)) if device \
         else (lambda x: jnp.asarray(x))
@@ -153,6 +156,27 @@ def build_gpu_scene_from_arrays(
               num_tris, num_nodes, tcap, mcap,
               (time.perf_counter() - t0) * 1e3)
     return scene
+
+
+def pack_tri_records(v9: np.ndarray, m4: np.ndarray) -> np.ndarray:
+    """[T,9] verts + [T,4] mats -> [T,16] packed cluster records.
+
+    Record layout (core/fast_types.py): v0, e1=v1-v0, e2=v2-v0, albedo,
+    type, unit geometric normal normalize(cross(e1,e2)). Precomputing the
+    MT edges + normal at pack time removes ~20 scalar ops per triangle
+    from every Pallas leaf visit. All f32 (matches in-kernel arithmetic).
+    """
+    v9 = np.asarray(v9, np.float32)
+    m4 = np.asarray(m4, np.float32)
+    v0 = v9[:, 0:3]
+    e1 = v9[:, 3:6] - v0
+    e2 = v9[:, 6:9] - v0
+    nrm = np.cross(e1, e2).astype(np.float32)
+    nlen = np.sqrt((nrm * nrm).sum(-1, keepdims=True, dtype=np.float32))
+    nrm = np.where(nlen > 0.0, nrm / np.where(nlen > 0.0, nlen, 1.0), 0.0)
+    return np.concatenate(
+        [v0, e1, e2, m4[:, 0:3], m4[:, 3:4], nrm.astype(np.float32)],
+        axis=1).astype(np.float32)
 
 
 def build_fast_scene(instances: Sequence[ModelInstance], device=None):
@@ -236,25 +260,24 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
             except Exception:
                 _log.exception("native cluster packing failed; using NumPy")
         if not packed:
-            ordered_v = verts[bvh.order]          # [n, 3, 3]
-            ordered_m = mats[bvh.order]           # [n, 4]
+            ordered_v = verts[bvh.order]          # [n_refs, 3, 3]
+            ordered_m = mats[bvh.order]           # [n_refs, 4]
+            records = pack_tri_records(ordered_v.reshape(-1, 9), ordered_m)
             leaf_nodes = np.nonzero(leaf_mask)[0]
             for li, node in enumerate(leaf_nodes):
                 start = int(bvh.node_tri[node])
                 count = int(bvh.node_ntri[node])
                 row = clusters[li].reshape(CLUSTER_SIZE, TRI_STRIDE)
-                row[:count, 0:9] = ordered_v[start:start + count].reshape(
-                    count, 9)
-                row[:count, 9:12] = ordered_m[start:start + count, 0:3]
-                row[:count, 12] = ordered_m[start:start + count, 3]
+                row[:count] = records[start:start + count]
         num_nodes = m
 
     # 4-wide collapse of the same tree (bvh/bvh4.py) — the Pallas
     # traversal's fast layout. Row capacity is bucketed like the binary
     # table so scene edits inside a bucket reuse the compiled executable.
     from raytracer_tpu.bvh.bvh4 import collapse4
+    from raytracer_tpu.core.fast_types import WIDE_WIDTH
 
-    nodes4, n4 = collapse4(nodes8, num_nodes, width=8)
+    nodes4, n4 = collapse4(nodes8, num_nodes, width=WIDE_WIDTH)
     r4cap = _bucket(nodes4.shape[0])
     nodes4 = np.concatenate(
         [nodes4, np.zeros((r4cap - nodes4.shape[0], nodes4.shape[1]),

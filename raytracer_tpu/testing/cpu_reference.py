@@ -40,17 +40,27 @@ class Pcg:
         return F(F(self.seed) / F(4294967295.0))
 
     def random_vec3_in_unit_sphere(self) -> np.ndarray:
+        # Bounded at the same REJECTION_ROUNDS as the vectorized kernels
+        # (kernels/rng.py) with the same zero-vector fallback, so the seed
+        # stream and the drawn direction stay exactly aligned even on the
+        # ~2e-8-per-draw exhaustion path (ADVICE r2).
+        from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
+
         _ = np.array([self.random_float(), self.random_float(),
                       self.random_float()], F) * F(2.0) - F(1.0)  # discarded
-        while True:
+        for _round in range(REJECTION_ROUNDS):
             p = np.array([self.random_float(), self.random_float(),
                           self.random_float()], F) * F(2.0) - F(1.0)
             if p @ p < 1.0:
                 return p
+        return np.zeros(3, F)  # exhausted: kernels fall back the same way
 
     def random_unit_vector(self) -> np.ndarray:
         p = self.random_vec3_in_unit_sphere()
-        return p / F(np.sqrt(p @ p))
+        n = F(np.sqrt(p @ p))
+        if n == 0.0:  # exhausted rejection sampling (see above)
+            return p
+        return p / n
 
 
 def _normalize(v):

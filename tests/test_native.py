@@ -54,6 +54,58 @@ def test_bvh_structural_parity(n, leaf):
     assert sorted(a.order.tolist()) == list(range(n))
 
 
+def test_sbvh_structure_and_render_parity():
+    """SBVH (spatial splits, rt_build_bvh_sbvh): duplicated references
+    must keep every triangle covered, the pre-order walk valid, and the
+    rendered image identical to the plain-SAH tree (strict closest-t is
+    order- and duplication-invariant)."""
+    import os
+
+    import numpy as np
+
+    from raytracer_tpu.core.camera import Camera
+    from raytracer_tpu.core.types import RenderConfig
+    from raytracer_tpu.kernels.packet import render_linear_fast
+    from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
+
+    rng = np.random.default_rng(7)
+    # Long thin random triangles: plenty of straddlers so spatial splits
+    # actually fire.
+    base = rng.uniform(-10, 10, (600, 1, 3)).astype(np.float32)
+    span = rng.normal(size=(600, 3, 3)).astype(np.float32)
+    span[:, :, 0] *= 8.0  # stretch along x
+    tris = (base + span * 0.5).astype(np.float32)
+    b = native_bridge.build_bvh(tris, 8, method="sbvh")
+    n = tris.shape[0]
+    assert len(b.order) >= n
+    covered = np.zeros(n, bool)
+    covered[b.order] = True
+    assert covered.all()
+    assert int(b.node_ntri[b.node_tri >= 0].sum()) == len(b.order)
+    # Pre-order skip-walk visits every node once.
+    m, i, cnt = b.num_nodes, 0, 0
+    while i < m and cnt <= 2 * m:
+        i = i + 1 if b.node_tri[i] < 0 else b.node_skip[i]
+        cnt += 1
+    assert cnt == m
+
+    mats = np.zeros((n, 4), np.float32)
+    mats[:, 0:3] = (0.7, 0.6, 0.5)
+    os.environ["RAYTPU_BVH"] = "sah"
+    try:
+        s1 = build_fast_scene_from_arrays(tris, mats)
+        os.environ["RAYTPU_BVH"] = "sbvh"
+        s2 = build_fast_scene_from_arrays(tris, mats)
+    finally:
+        os.environ.pop("RAYTPU_BVH", None)
+    cfg = RenderConfig(width=32, height=24, max_bounces=2)
+    cam = Camera(origin=(0, 5, 40), look_at=(0, 0, 0), vfov_deg=45,
+                 aspect_ratio=32 / 24)
+    a, _ = render_linear_fast(s1, cam.uniforms(), cfg)
+    bimg, _ = render_linear_fast(s2, cam.uniforms(), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bimg), atol=2e-5)
+
+
 def test_bvh_renders_identically():
     """A scene built through the native pipeline must render the same image
     as the NumPy pipeline."""

@@ -170,6 +170,32 @@ def test_pallas_b0_padded_raster_fallback(monkeypatch):
     assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
 
 
+def test_pallas_b0_padded_tile_major(monkeypatch):
+    """Frames that tile but don't divide the pad grain (384x8 = 3072 rays,
+    tile (8,128), grain 2048 -> p_pad 4096 != p — the 1080p shape) must
+    keep tile-major order with a dead wrapped tail, matching the
+    megakernel (VERDICT r2 #4)."""
+    w, h = 384, 8
+    _, fast_scene = _scenes(0.0, 1.0)
+    cfg = RenderConfig(width=w, height=h, rng_mode="reference",
+                       kernel="packet", max_bounces=4)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=w / h)
+    uni = cam.uniforms()
+    from raytracer_tpu.kernels.pallas_trace import BLOCK, pick_tile
+    from raytracer_tpu.kernels.wavefront import BBLOCK
+    grain = max(BLOCK, BBLOCK)
+    assert pick_tile(h, w) is not None and (w * h) % grain != 0, \
+        "test no longer exercises the padded tile-major case"
+    monkeypatch.setenv("RAYTPU_B0", "mega")
+    a, stats_a = render_linear_fast(fast_scene, uni, cfg)
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    b, stats_b = render_linear_fast(fast_scene, uni, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    assert float(stats_a["rays_traced"]) == float(stats_b["rays_traced"])
+
+
 def test_tile_packet_b0_matches_megakernel(monkeypatch):
     """A/B: the RAYTPU_B0=packet tile phase must agree with the default
     megakernel primaries path (same strict closest-t semantics)."""

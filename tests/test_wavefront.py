@@ -78,6 +78,21 @@ def test_bounce_megakernel_matches_wavefront(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
+def test_fused_round_matches_split(small_scene, monkeypatch):
+    """The fused trace+shade round (one Pallas call per round,
+    kernels/pallas_mega.bounce_megakernel at bcap=1) must match the split
+    round (pallas traverse + XLA shade): same RNG streams draw for draw,
+    same closest-hit, deposits differ only in fp add order."""
+    monkeypatch.setenv("RAYTPU_WAVE", "split")
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    monkeypatch.setenv("RAYTPU_WAVE", "fused")
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert rays_got == rays_ref
+
+
 @pytest.mark.parametrize("mode", ["pd5", "oct_morton"])
 def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
