@@ -42,13 +42,17 @@ COLOR_PRESETS = {  # reference VulkanApp.java:475-481
 class ViewerApp:
     """Single-writer owner of camera/scene/settings state."""
 
-    def __init__(self, cfg: RenderConfig, scene: Scene):
+    def __init__(self, cfg: RenderConfig, scene: Scene,
+                 ladder_frames: int = 4):
         self.cfg = cfg
         self.scene = scene
         self.camera = default_camera(cfg.width, cfg.height)
         self.sky_enabled = True
         self.exposure = 0.0
-        self.engine = RenderEngine(cfg)
+        # Resolution ladder: half-res upscaled frames while the camera is
+        # moving / right after an edit, full res + accumulation when still
+        # — keypress-to-updated-frame stays interactive at 720p.
+        self.engine = RenderEngine(cfg, ladder_frames=ladder_frames)
         self._lock = threading.RLock()
         self._last_frame = None
         self._running = False
@@ -216,6 +220,7 @@ class ViewerApp:
                     "render_ms": round(frame.render_ms, 1),
                     "fps": round(self.engine.meter.fps, 2),
                     "mrays": round(self.engine.meter.mrays_per_s, 2),
+                    "preview": frame.preview,
                 },
                 "stages": self.engine.profiler.summary(),
                 "color_presets": COLOR_PRESETS,
@@ -386,6 +391,9 @@ def main(argv=None) -> int:
     p.add_argument("--assets", default="/root/reference/objects")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"),
                    default="auto")
+    p.add_argument("--ladder", type=int, default=4,
+                   help="preview (half-res) frames after each camera/scene "
+                        "event before switching to full res; 0 disables")
     args = p.parse_args(argv)
     from raytracer_tpu.apps.headless import apply_device_flag
 
@@ -395,7 +403,7 @@ def main(argv=None) -> int:
                        samples_per_pixel=args.spp, kernel=args.kernel)
     scene = (Scene.load_json(args.scene) if args.scene
              else default_scene(asset_dir=args.assets))
-    app = ViewerApp(cfg, scene)
+    app = ViewerApp(cfg, scene, ladder_frames=args.ladder)
     app.start()
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(app))

@@ -108,12 +108,23 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
         in_specs=(replicated, replicated, row_sharded),
         out_specs=(row_sharded, row_sharded,
                    {"rays_traced": replicated, "samples": replicated}),
-        # vma inference rejects the kernels' constant-initialized
-        # while_loop carries (unvarying init vs varying body output, e.g.
-        # rng.random_vec3_in_unit_sphere); threading pvary through every
-        # loop would touch all kernels for no runtime effect. Correctness
-        # of the specs is covered by tests/test_parallel.py's bit-identical
-        # mesh-vs-single-device images across (8,1)/(4,2)/(2,4) meshes.
+        # check_vma=False, deliberately. The exact jax-0.9 failure with it
+        # on (captured in tests/test_parallel.py::test_check_vma_still_
+        # unsupported, which pins it): "while_loop body function carry
+        # input and carry output must have equal types ... the input carry
+        # component carry[1] has type float32[1024] but the corresponding
+        # output carry component has type float32[1024]{V:(dp,sp)}" — vma
+        # inference wants `jax.lax.pcast(..., to='varying')` on every
+        # constant-initialized while_loop carry (first offender:
+        # rng.random_vec3_in_unit_sphere's zero px/py/pz accumulators;
+        # the traversal/bounce loops' zero inits cascade behind it).
+        # Threading pcast/pvary through ~15 loop inits is not viable: the
+        # same kernels run OUTSIDE shard_map (single-chip path), where
+        # pvary's axis names are unbound. Correctness of the specs is
+        # instead covered by tests/test_parallel.py's bit-identical
+        # mesh-vs-single-device images across (8,1)/(4,2)/(2,4) meshes;
+        # the pin test fails the day jax accepts these carries, signalling
+        # this flag can be flipped.
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(2,))

@@ -73,6 +73,36 @@ def test_sharded_accumulation(scene):
     assert len(accum.sharding.device_set) == 4
 
 
+def test_check_vma_still_unsupported(scene, monkeypatch):
+    """Pin for the documented check_vma=False bypass (sharding.py): jax's
+    vma inference rejects the kernels' constant-initialized while_loop
+    carries (wants pcast-to-varying on every zero init, which can't be
+    threaded through kernels that also run outside shard_map). If jax
+    starts accepting these carries, this test FAILS — flip check_vma=True
+    in parallel/sharding.py and delete this pin."""
+    import raytracer_tpu.parallel.sharding as sh
+
+    orig = sh.shard_map
+
+    def forced(fn, **kw):
+        kw["check_vma"] = True
+        return orig(fn, **kw)
+
+    monkeypatch.setattr(sh, "shard_map", forced)
+    cfg = RenderConfig(width=W, height=H, kernel="packet", max_bounces=2)
+    mesh = make_mesh(n_devices=2, sp=1)
+    r = MeshRenderer(cfg, mesh=mesh)
+    rscene = r.prepare_scene(scene)
+    try:
+        _, img, _ = r.render(rscene, _cam().uniforms())
+        np.asarray(img)
+    except TypeError as e:
+        assert "varying" in str(e)  # the documented vma carry mismatch
+        return
+    pytest.fail("jax now accepts the kernels' loop carries under "
+                "check_vma=True — enable it in parallel/sharding.py")
+
+
 def test_wavefront_kernel_sharded(scene):
     from raytracer_tpu.scene.builder import build_gpu_scene_from_arrays
 

@@ -151,6 +151,30 @@ def test_scene_save_load_roundtrip(viewer):
     assert after == before
 
 
+def test_resolution_ladder_preview_then_full(viewer):
+    """Right after a camera event (frame_count resets to 0) the engine
+    serves upscaled half-res preview frames; once still past the ladder
+    window it switches to full resolution (VERDICT r2 #7). Pixels are
+    always published at the full frame size."""
+    app, base, _, _ = viewer
+    assert app.engine._preview is not None  # 64x48 is 16-divisible
+    assert _wait(lambda: _state(base)["stats"] is not None)
+
+    _post(base, "/api/key", {"key": "Q"})  # reset accumulation
+    # While frame_count < ladder window, frames must be previews.
+    assert _wait(lambda: (_state(base)["stats"] or {}).get("preview")
+                 is True, timeout=60), "no preview frame after camera event"
+    status, body = _get(base, "/frame.jpg")
+    assert status == 200 and len(body) > 100  # upscaled to full size
+
+    # Once still long enough, full-res frames resume.
+    assert _wait(lambda: (_state(base)["stats"] or {}).get("preview")
+                 is False, timeout=120), "never switched back to full res"
+    f = app.engine.latest_frame() or app._last_frame
+    if f is not None:
+        assert f.pixels.shape == (H, W, 3)
+
+
 def test_unknown_routes_404(viewer):
     app, base, _, _ = viewer
     with pytest.raises(urllib.error.HTTPError) as e:
