@@ -537,7 +537,7 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
     b0 = _os.environ.get("RAYTPU_B0", default_b0)
 
-    if b0 == "pallas":
+    if b0 in ("pallas", "pwave"):
         # Primary traversal in the Pallas per-tile kernel. Ray order is
         # tile-major (consecutive BLOCK rays = one compact pixel tile);
         # pick_tile guarantees p % (th*tw) == 0, so this works even when
@@ -577,13 +577,32 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
         zero = jnp.zeros((p_pad,), jnp.float32)
         one = jnp.ones((p_pad,), jnp.float32)
         sky_on = cam.sky_enabled > 0
+        # Pad rays carry an out-of-range pixel id; every deposit below
+        # scatters with mode="drop".
+        pix_local = jnp.where(i < p, yy_local * w + xx, jnp.int32(p))
+
+        if (b0 == "pwave" and cfg.max_bounces > 1
+                and getattr(scene, "nodes4", None) is not None):
+            # A/B option, measured SLOWER than the default (6.73 vs 7.29
+            # FPS flagship): bounce 0 inside the fused rounds — raygen
+            # feeds wavefront_bounces(start_bounce=0), removing the XLA
+            # bounce-0 shade, but the pd5-sorted S=16 round-0 walk loses
+            # more than that saves vs the tile-major S=8 primary kernel
+            # (184 Mrays/s). Kept for re-evaluation if tile sizes change.
+            from raytracer_tpu.kernels.wavefront import wavefront_bounces
+
+            cx, cy, cz, rays = wavefront_bounces(
+                scene, ray_o, ray_d, (zero, zero, zero), (one, one, one),
+                seed, alive, sky_on, cfg, start_bounce=0, pix=pix_local)
+            color = tuple(c[:p] for c in (cx, cy, cz))
+            stats = {"rays_traced": rays, "bounce_iters": jnp.int32(0)}
+            image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
+            return image, stats
+
         res = pallas_traverse(scene, ray_o, ray_d, alive, cfg)
         ray_o, ray_d, color, atten, seed, alive = shade(
             res, ray_o, ray_d, (zero, zero, zero), (one, one, one), seed,
             alive, sky_on, cfg)
-        # Pad rays carry an out-of-range pixel id; every deposit below
-        # scatters with mode="drop".
-        pix_local = jnp.where(i < p, yy_local * w + xx, jnp.int32(p))
         if cfg.max_bounces > 1:
             bounce_path = _os.environ.get(
                 "RAYTPU_BOUNCE",

@@ -51,9 +51,11 @@ from raytracer_tpu.kernels.tracer import shade
 # fastest at 16-sublane (2048-ray) tiles (sublanes sweep, PERF_NOTES.md).
 BBLOCK = BOUNCE_SUBLANES * BLOCK_LANES
 
-# Narrowest sorted-round width: 4 Pallas tiles. Below this the per-round
-# fixed costs (sort + dispatch) beat any coherence gain.
-MIN_WIDTH = 4 * BBLOCK
+# Narrowest sorted-round width: 4 Pallas tiles by default. Below this the
+# per-round fixed costs (sort + dispatch) beat any coherence gain.
+# RAYTPU_WAVE_MINW overrides for A/B (rounded up to a whole tile).
+MIN_WIDTH = max(1, -(-int(os.environ.get("RAYTPU_WAVE_MINW",
+                                         str(4 * BBLOCK))) // BBLOCK)) * BBLOCK
 
 
 def _part1by2(v):

@@ -78,6 +78,18 @@ def test_bounce_megakernel_matches_wavefront(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
+def test_pwave_b0_matches_megakernel(small_scene, monkeypatch):
+    """RAYTPU_B0=pwave routes bounce 0 through the fused rounds (raygen ->
+    sorted fused walk+shade from the first bounce). Identical RNG streams
+    and strict closest-t => same image as the XLA megakernel."""
+    ref, rays_ref = _render(small_scene, "mega", "mega", monkeypatch,
+                            w=128, h=64, bounces=4)
+    got, rays_got = _render(small_scene, "pwave", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert rays_got == rays_ref
+
+
 def test_fused_round_matches_split(small_scene, monkeypatch):
     """The fused trace+shade round (one Pallas call per round,
     kernels/pallas_mega.bounce_megakernel at bcap=1) must match the split
