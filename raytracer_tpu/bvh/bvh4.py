@@ -15,7 +15,10 @@ Layout: one wide node = width x 16 floats = width children x [min(3)
 max(3) meta pad9]; at the production width 8 that is ONE node per
 128-float row (the proven SMEM-DMA shape, kernels/pallas_trace.py), at
 width 4 two nodes per row. meta is a float-encoded exact int: > 0
-internal (wide id + 1), < 0 leaf (-(cluster id + 1)), 0 empty slot.
+internal (wide id + 1), < 0 leaf (-(cid | (count-1 << LEAF_CID_BITS))-1
+— cluster id plus its live-triangle count so the kernels can skip the
+padded half of underfull clusters), 0 empty slot; |meta| < 2^23 stays
+exact in f32.
 The production width is single-sourced as
 ``core.fast_types.WIDE_WIDTH`` — the traversal kernel's row indexing
 (row == wide node id) is only valid at width 8.
@@ -41,7 +44,8 @@ PACK_LANES = 128
 STACK_CAP = 256
 
 
-def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
+def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
+              cluster_counts: np.ndarray | None = None):
     """Collapse pre-order binary ``nodes8`` into BVH-``width`` arrays.
 
     Args:
@@ -51,6 +55,10 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
       width: children per wide node (4 -> two 64-float nodes per row,
         8 -> one 128-float node per row; production uses 8, see
         ``core.fast_types.WIDE_WIDTH``).
+      cluster_counts: optional i32[L] live-triangle count per cluster id
+        (1..CLUSTER_SIZE). Encoded into the leaf metas so the traversal
+        kernels skip the padded half of underfull clusters (mean flagship
+        occupancy is ~6/8); omitted -> counts encode as CLUSTER_SIZE.
     Returns:
       (packed f32[R, 128], n_wide): R = ceil(n_wide * width / 16) rows.
     """
@@ -117,11 +125,19 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4):
     n4 = len(out)
     node_floats = 16 * width
     arr = np.zeros((n4, node_floats), np.float32)
+    from raytracer_tpu.core.fast_types import CLUSTER_SIZE, LEAF_CID_BITS
+
+    def leaf_meta(cid):
+        cnt = (CLUSTER_SIZE if cluster_counts is None
+               else int(cluster_counts[cid]))
+        assert 1 <= cnt <= CLUSTER_SIZE and cid < (1 << LEAF_CID_BITS)
+        return -((cid | ((cnt - 1) << LEAF_CID_BITS)) + 1)
+
     for qid, ent in enumerate(out):
         for c, e in enumerate(ent):
             base = 16 * c
             arr[qid, base:base + 6] = e[2]
-            arr[qid, base + 6] = (-(e[1] + 1) if e[0] == "leaf"
+            arr[qid, base + 6] = (leaf_meta(e[1]) if e[0] == "leaf"
                                   else b2q[e[1]] + 1)
         # remaining slots keep meta == 0 (empty)
     per_row = PACK_LANES // node_floats  # 2 for width 4, 1 for width 8

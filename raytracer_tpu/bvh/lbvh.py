@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
-                                           FastScene, TRI_STRIDE)
+                                           FastScene, LEAF_CID_BITS,
+                                           TRI_STRIDE)
 from raytracer_tpu.bvh.build import AABB_EPS
 
 
@@ -251,9 +252,14 @@ def emit_wide_device(left, right, parent, all_lo, all_hi, l: int):
             child = right[safe] if bit else left[safe]
             cur = jnp.where(at_leaf, cur, child)
             at_leaf = cur >= leaf_base
+        # LBVH clusters are always full runs of CLUSTER_SIZE sorted
+        # triangles, so the count-encoded leaf meta (bvh/bvh4.py layout)
+        # carries count == CLUSTER_SIZE; global tail padding is
+        # degenerate zero triangles that never hit.
+        full = (CLUSTER_SIZE - 1) << LEAF_CID_BITS
         meta = jnp.where(
             at_leaf,
-            -(cur - leaf_base) - 1,
+            -((cur - leaf_base) | full) - 1,
             wide_id[jnp.clip(cur, 0, leaf_base - 1)] + 1)
         meta = jnp.where(valid, meta, 0).astype(jnp.float32)
         lo = all_lo[cur]                                    # [L-1, 3]
@@ -326,9 +332,12 @@ def build_fast_scene_device(verts: jnp.ndarray,
             jnp.array([[0]], jnp.int32),
         ], axis=1)
         nodes8 = jax.lax.bitcast_convert_type(nodes8_i, jnp.float32)
-        # Wide table: one node whose slot 0 is leaf cluster 0.
+        # Wide table: one node whose slot 0 is leaf cluster 0 (count-
+        # encoded meta, count = CLUSTER_SIZE).
+        meta0 = -(((CLUSTER_SIZE - 1) << LEAF_CID_BITS) | 0) - 1
         row = jnp.concatenate([
-            cl_lo[0], cl_hi[0], jnp.full((1,), -1.0, jnp.float32),
+            cl_lo[0], cl_hi[0],
+            jnp.full((1,), float(meta0), jnp.float32),
             jnp.zeros((121,), jnp.float32)])
         nodes_wide = row[None, :]
         n_wide = jnp.int32(1)

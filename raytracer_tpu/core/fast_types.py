@@ -38,6 +38,12 @@ CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128
 # indexing (packed row == wide node id) is only valid at width 8: one
 # node = 8 children x 16 floats = one 128-float row.
 WIDE_WIDTH = 8
+# Wide-table leaf metas pack (cluster id | (count-1) << LEAF_CID_BITS):
+# the live-triangle count lets the traversal kernels skip the padded
+# second half of underfull clusters (flagship mean occupancy ~6/8).
+# 20 id bits + 3 count bits keep |meta| < 2^23 — exact as f32.
+LEAF_CID_BITS = 20
+LEAF_CID_MASK = (1 << LEAF_CID_BITS) - 1
 
 
 @_register
@@ -49,7 +55,7 @@ class FastScene:
     8-wide in production) is the wide collapse of the same tree
     (bvh/bvh4.py): f32[Rpad, 128], ONE 8-child node per 128-float row,
     child meta floats encoding >0 internal wide id + 1 / <0
-    -(cluster id + 1) / 0 empty. Host builds and the on-device LBVH
+    -((cid | (count-1 << LEAF_CID_BITS)) + 1) / 0 empty. Host builds and the on-device LBVH
     rebuild (bvh/lbvh.py wide emit) both provide it; when absent the
     Pallas traversal falls back to the binary packed path.
     """

@@ -53,6 +53,10 @@ class FrameData:
     frame_number: int
     samples: float
     rays_traced: float
+    # Submit-to-publish latency. Under pipelined dispatch (RAYTPU_PIPELINE
+    # frames in flight) this includes queue dwell, so it exceeds the
+    # per-frame device time; FrameCounter's rolling FPS is the
+    # throughput number.
     render_ms: float
     # True while the resolution ladder is serving upscaled preview frames
     # (pixels are still full-size; see RenderEngine ladder_frames).
@@ -210,23 +214,29 @@ class RenderEngine:
 
     def _main_loop(self) -> None:
         _log_vrt.info("render thread started")
+        import collections
+        import os
+
         scene = None
         cam = None
         accum = None
         accum_p = None  # preview-resolution accumulator (ladder)
-        # Double-buffered dispatch: frame N is enqueued on the device
-        # before frame N-1's pixels are fetched, so host readback overlaps
-        # device compute — replacing the reference's submit + blocking
-        # fence-wait + copy per frame (VulkanEngine.java:410-426).
-        pending = None  # (image_device, stats, t_submit, preview)
+        # Pipelined dispatch (depth RAYTPU_PIPELINE, default 2 frames in
+        # flight): frame N is enqueued on the device before frame
+        # N-depth's pixels are fetched, so by publish time that frame's
+        # compute certainly finished and the readback costs only the
+        # host copy (never a device wait) — replacing the reference's
+        # submit + blocking fence-wait + copy per frame
+        # (VulkanEngine.java:410-426). Depth 1 = the old double buffer.
+        depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", "2")))
+        pending = collections.deque()  # (image, stats, t_submit, preview)
         try:
             while self._running:
                 new_scene, scene_fresh = self._scene_box.take()
                 if scene_fresh:
-                    # Flush the in-flight frame before swapping.
-                    if pending is not None:
-                        self._publish(*pending)
-                        pending = None
+                    # Flush in-flight frames before swapping.
+                    while pending:
+                        self._publish(*pending.popleft())
                     scene = new_scene
                     accum = None  # scene swap resets accumulation buffers
                     accum_p = None
@@ -266,15 +276,15 @@ class RenderEngine:
                         with self.profiler.stage("dispatch"):
                             accum, image, stats = self.renderer.render(
                                 scene, cam_r, accum)
-                    if pending is not None:
-                        self._publish(*pending)
-                    pending = (image, stats, t0, preview)
+                    pending.append((image, stats, t0, preview))
+                    while len(pending) > depth:
+                        self._publish(*pending.popleft())
                 except Exception:
                     _log_vrt.exception("render step failed; continuing")
-                    pending = None
+                    pending.clear()
                     time.sleep(0.1)
-            if pending is not None:
-                self._publish(*pending)
+            while pending:
+                self._publish(*pending.popleft())
         finally:
             _log_vrt.info("render thread exiting")
 

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.core.fast_types import CLUSTER_SIZE, TRI_STRIDE
+from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, LEAF_CID_BITS,
+                                           LEAF_CID_MASK, TRI_STRIDE)
 from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
 
 LANES = 128
@@ -205,69 +206,87 @@ def make_kernel(fuzz_const, emissive_emits):
                     pltpu.make_async_copy(npack_ref.at[nid2], row_s,
                                           sema).start()
 
+                # Count-encoded leaf metas (bvh/bvh4.py): cluster id in
+                # the low LEAF_CID_BITS, live-triangle count above; the
+                # second half-cluster runs only when count > 4 (padding
+                # tris have det == 0, so skipping is result-neutral).
+                def mt_half(cc, lo_k, hi_k):
+                    cl = t_s[:]
+                    nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
+                    tar, tag, tab = tar_s[:], tag_s[:], tab_s[:]
+                    tmt = tmt_s[:]
+                    for k in range(lo_k, hi_k):
+                        b = k * TRI_STRIDE
+                        s = (lambda j, b=b, cc=cc:
+                             crow_s[cc % 4, b + j])
+                        # Precomputed record: v0, e1, e2, albedo,
+                        # type, unit normal (core/fast_types.py).
+                        v0x, v0y, v0z = s(0), s(1), s(2)
+                        e1x, e1y, e1z = s(3), s(4), s(5)
+                        e2x, e2y, e2z = s(6), s(7), s(8)
+                        nux, nuy, nuz = s(13), s(14), s(15)
+                        pvx = rdy * e2z - rdz * e2y
+                        pvy = rdz * e2x - rdx * e2z
+                        pvz = rdx * e2y - rdy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = ~((det > -det_eps) & (det < det_eps))
+                        invd = 1.0 / jnp.where(ok, det, 1.0)
+                        sx = rox - v0x
+                        sy = roy - v0y
+                        sz = roz - v0z
+                        u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                        tt = invd * (e2x * qx + e2y * qy
+                                     + e2z * qz)
+                        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        ok &= (u + v <= 1.0)
+                        ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+                        flip = (rdx * nux + rdy * nuy
+                                + rdz * nuz) > 0.0
+                        sgn = jnp.where(flip, -1.0, 1.0)
+                        cl = jnp.where(ok, tt, cl)
+                        nx = jnp.where(ok, sgn * nux, nx)
+                        ny = jnp.where(ok, sgn * nuy, ny)
+                        nz = jnp.where(ok, sgn * nuz, nz)
+                        tar = jnp.where(ok, s(9), tar)
+                        tag = jnp.where(ok, s(10), tag)
+                        tab = jnp.where(ok, s(11), tab)
+                        tmt = jnp.where(ok, s(12), tmt)
+                    t_s[:] = cl
+                    nx_s[:], ny_s[:], nz_s[:] = nx, ny, nz
+                    tar_s[:], tag_s[:], tab_s[:] = tar, tag, tab
+                    tmt_s[:] = tmt
+
                 for group in range(0, WIDTH, 4):
                     for cc in range(group, group + 4):
                         @pl.when(any_c[cc] & (meta_c[cc] < 0))
                         def _(cc=cc):
-                            col7 = -meta_c[cc] - jnp.int32(1)
-                            pltpu.make_async_copy(clusters_ref.at[col7],
+                            lid = -meta_c[cc] - jnp.int32(1)
+                            cid = lid & jnp.int32(LEAF_CID_MASK)
+                            pltpu.make_async_copy(clusters_ref.at[cid],
                                                   crow_s.at[cc % 4],
                                                   csem.at[cc % 4]).start()
                     for cc in range(group, group + 4):
-                        @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                        is_leaf_c = any_c[cc] & (meta_c[cc] < 0)
+
+                        @pl.when(is_leaf_c)
                         def _(cc=cc):
-                            col7 = -meta_c[cc] - jnp.int32(1)
-                            pltpu.make_async_copy(clusters_ref.at[col7],
+                            lid = -meta_c[cc] - jnp.int32(1)
+                            cid = lid & jnp.int32(LEAF_CID_MASK)
+                            pltpu.make_async_copy(clusters_ref.at[cid],
                                                   crow_s.at[cc % 4],
                                                   csem.at[cc % 4]).wait()
-                            cl = t_s[:]
-                            nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
-                            tar, tag, tab = tar_s[:], tag_s[:], tab_s[:]
-                            tmt = tmt_s[:]
-                            for k in range(CLUSTER_SIZE):
-                                b = k * TRI_STRIDE
-                                s = (lambda j, b=b, cc=cc:
-                                     crow_s[cc % 4, b + j])
-                                # Precomputed record: v0, e1, e2, albedo,
-                                # type, unit normal (core/fast_types.py).
-                                v0x, v0y, v0z = s(0), s(1), s(2)
-                                e1x, e1y, e1z = s(3), s(4), s(5)
-                                e2x, e2y, e2z = s(6), s(7), s(8)
-                                nux, nuy, nuz = s(13), s(14), s(15)
-                                pvx = rdy * e2z - rdz * e2y
-                                pvy = rdz * e2x - rdx * e2z
-                                pvz = rdx * e2y - rdy * e2x
-                                det = e1x * pvx + e1y * pvy + e1z * pvz
-                                ok = ~((det > -det_eps) & (det < det_eps))
-                                invd = 1.0 / jnp.where(ok, det, 1.0)
-                                sx = rox - v0x
-                                sy = roy - v0y
-                                sz = roz - v0z
-                                u = invd * (sx * pvx + sy * pvy + sz * pvz)
-                                qx = sy * e1z - sz * e1y
-                                qy = sz * e1x - sx * e1z
-                                qz = sx * e1y - sy * e1x
-                                v = invd * (rdx * qx + rdy * qy + rdz * qz)
-                                tt = invd * (e2x * qx + e2y * qy
-                                             + e2z * qz)
-                                ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                                ok &= (u + v <= 1.0)
-                                ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
-                                flip = (rdx * nux + rdy * nuy
-                                        + rdz * nuz) > 0.0
-                                sgn = jnp.where(flip, -1.0, 1.0)
-                                cl = jnp.where(ok, tt, cl)
-                                nx = jnp.where(ok, sgn * nux, nx)
-                                ny = jnp.where(ok, sgn * nuy, ny)
-                                nz = jnp.where(ok, sgn * nuz, nz)
-                                tar = jnp.where(ok, s(9), tar)
-                                tag = jnp.where(ok, s(10), tag)
-                                tab = jnp.where(ok, s(11), tab)
-                                tmt = jnp.where(ok, s(12), tmt)
-                            t_s[:] = cl
-                            nx_s[:], ny_s[:], nz_s[:] = nx, ny, nz
-                            tar_s[:], tag_s[:], tab_s[:] = tar, tag, tab
-                            tmt_s[:] = tmt
+                            mt_half(cc, 0, CLUSTER_SIZE // 2)
+
+                        @pl.when(is_leaf_c
+                                 & ((-meta_c[cc] - 1)
+                                    >> jnp.int32(LEAF_CID_BITS)
+                                    >= jnp.int32(CLUSTER_SIZE // 2)))
+                        def _(cc=cc):
+                            mt_half(cc, CLUSTER_SIZE // 2, CLUSTER_SIZE)
 
                 return have2, nid2, sp3, nid2, pend2
 

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, FastScene,
+                                           LEAF_CID_BITS, LEAF_CID_MASK,
                                            TRI_STRIDE, WIDE_WIDTH)
 from raytracer_tpu.core.types import RenderConfig
 from raytracer_tpu.kernels.tracer import TraversalResult
@@ -334,73 +335,93 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             # Groups of 4: start the group's DMAs (per-child slots), then
             # wait+process — slots are reused across groups, so a group's
             # processing must finish before the next group's starts.
+            # Leaf metas are count-encoded (bvh/bvh4.py): cluster id in
+            # the low LEAF_CID_BITS, live-triangle count above. The
+            # second half-cluster is processed only when count > 4 —
+            # ~21% of flagship leaves are at most half full, and their
+            # padding triangles can never hit (det == 0), so skipping is
+            # exactly result-neutral.
             for cc in range(group, group + 4):
                 @pl.when(any_c[cc] & (meta_c[cc] < 0))
                 def _(cc=cc):
-                    col7 = -meta_c[cc] - jnp.int32(1)
-                    pltpu.make_async_copy(clusters_ref.at[col7],
+                    lid = -meta_c[cc] - jnp.int32(1)
+                    cid = lid & jnp.int32(LEAF_CID_MASK)
+                    pltpu.make_async_copy(clusters_ref.at[cid],
                                           crow_smem.at[cc % 4],
                                           crow_sem.at[cc % 4]).start()
 
+            def mt_half(cc, lo_k, hi_k):
+                cl = t_ref[:]
+                nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+                ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
+                mt = mt_ref[:]
+                for k in range(lo_k, hi_k):
+                    b = k * TRI_STRIDE
+
+                    def s(j, b=b, cc=cc):
+                        return crow_smem[cc % 4, b + j]
+
+                    # Precomputed record: v0, e1, e2, albedo, type,
+                    # unit normal (pack time, core/fast_types.py).
+                    v0x, v0y, v0z = s(0), s(1), s(2)
+                    e1x, e1y, e1z = s(3), s(4), s(5)
+                    e2x, e2y, e2z = s(6), s(7), s(8)
+                    nux, nuy, nuz = s(13), s(14), s(15)
+
+                    pvx = rdy * e2z - rdz * e2y
+                    pvy = rdz * e2x - rdx * e2z
+                    pvz = rdx * e2y - rdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = ~((det > -det_eps) & (det < det_eps))
+                    invd = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                    u = invd * (sx * pvx + sy * pvy + sz * pvz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = invd * (rdx * qx + rdy * qy + rdz * qz)
+                    tt = invd * (e2x * qx + e2y * qy + e2z * qz)
+                    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                    ok &= (u + v <= 1.0)
+                    ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
+
+                    if flip_normals:
+                        flip = (rdx * nux + rdy * nuy
+                                + rdz * nuz) > 0.0
+                        sgn = jnp.where(flip, -1.0, 1.0)
+                    else:
+                        sgn = 1.0
+                    cl = jnp.where(ok, tt, cl)
+                    nx = jnp.where(ok, sgn * nux, nx)
+                    ny = jnp.where(ok, sgn * nuy, ny)
+                    nz = jnp.where(ok, sgn * nuz, nz)
+                    ar = jnp.where(ok, s(9), ar)
+                    ag = jnp.where(ok, s(10), ag)
+                    ab = jnp.where(ok, s(11), ab)
+                    mt = jnp.where(ok, s(12), mt)
+                t_ref[:] = cl
+                nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
+                ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
+                mt_ref[:] = mt
+
             for cc in range(group, group + 4):
-                @pl.when(any_c[cc] & (meta_c[cc] < 0))
+                is_leaf_c = any_c[cc] & (meta_c[cc] < 0)
+
+                @pl.when(is_leaf_c)
                 def _(cc=cc):
-                    col7 = -meta_c[cc] - jnp.int32(1)
-                    pltpu.make_async_copy(clusters_ref.at[col7],
+                    lid = -meta_c[cc] - jnp.int32(1)
+                    cid = lid & jnp.int32(LEAF_CID_MASK)
+                    pltpu.make_async_copy(clusters_ref.at[cid],
                                           crow_smem.at[cc % 4],
                                           crow_sem.at[cc % 4]).wait()
-                    cl = t_ref[:]
-                    nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
-                    ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
-                    mt = mt_ref[:]
-                    for k in range(CLUSTER_SIZE):
-                        b = k * TRI_STRIDE
+                    mt_half(cc, 0, CLUSTER_SIZE // 2)
 
-                        def s(j, b=b, cc=cc):
-                            return crow_smem[cc % 4, b + j]
-
-                        # Precomputed record: v0, e1, e2, albedo, type,
-                        # unit normal (pack time, core/fast_types.py).
-                        v0x, v0y, v0z = s(0), s(1), s(2)
-                        e1x, e1y, e1z = s(3), s(4), s(5)
-                        e2x, e2y, e2z = s(6), s(7), s(8)
-                        nux, nuy, nuz = s(13), s(14), s(15)
-
-                        pvx = rdy * e2z - rdz * e2y
-                        pvy = rdz * e2x - rdx * e2z
-                        pvz = rdx * e2y - rdy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        ok = ~((det > -det_eps) & (det < det_eps))
-                        invd = 1.0 / jnp.where(ok, det, 1.0)
-                        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-                        u = invd * (sx * pvx + sy * pvy + sz * pvz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        v = invd * (rdx * qx + rdy * qy + rdz * qz)
-                        tt = invd * (e2x * qx + e2y * qy + e2z * qz)
-                        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                        ok &= (u + v <= 1.0)
-                        ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
-
-                        if flip_normals:
-                            flip = (rdx * nux + rdy * nuy
-                                    + rdz * nuz) > 0.0
-                            sgn = jnp.where(flip, -1.0, 1.0)
-                        else:
-                            sgn = 1.0
-                        cl = jnp.where(ok, tt, cl)
-                        nx = jnp.where(ok, sgn * nux, nx)
-                        ny = jnp.where(ok, sgn * nuy, ny)
-                        nz = jnp.where(ok, sgn * nuz, nz)
-                        ar = jnp.where(ok, s(9), ar)
-                        ag = jnp.where(ok, s(10), ag)
-                        ab = jnp.where(ok, s(11), ab)
-                        mt = jnp.where(ok, s(12), mt)
-                    t_ref[:] = cl
-                    nx_ref[:], ny_ref[:], nz_ref[:] = nx, ny, nz
-                    ar_ref[:], ag_ref[:], ab_ref[:] = ar, ag, ab
-                    mt_ref[:] = mt
+                @pl.when(is_leaf_c
+                         & ((-meta_c[cc] - 1)
+                            >> jnp.int32(LEAF_CID_BITS)
+                            >= jnp.int32(CLUSTER_SIZE // 2)))
+                def _(cc=cc):
+                    mt_half(cc, CLUSTER_SIZE // 2, CLUSTER_SIZE)
 
         return have2, nid2, sp3, row2, pend2
 

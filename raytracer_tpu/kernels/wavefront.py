@@ -57,6 +57,13 @@ BBLOCK = BOUNCE_SUBLANES * BLOCK_LANES
 MIN_WIDTH = max(1, -(-int(os.environ.get("RAYTPU_WAVE_MINW",
                                          str(4 * BBLOCK))) // BBLOCK)) * BBLOCK
 
+# Bounces per fused round (sort once, then walk+shade this many bounce
+# iterations inside the Pallas kernel). >1 trades sort/dispatch fixed
+# costs against coherence decay and dying-tile re-walks; the full-chain
+# extreme (RAYTPU_BOUNCE=pmega) measured 2.75 vs 6.11 FPS, so the
+# productive range, if any, is small (A/B knob).
+WAVE_BCAP = max(1, int(os.environ.get("RAYTPU_WAVE_BCAP", "1")))
+
 
 def _part1by2(v):
     """Spread the low 10 bits of u32 v to every 3rd bit."""
@@ -148,7 +155,6 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
 
         num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
-        one_cap = jnp.ones((1,), jnp.int32)
         skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
         fused_interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
@@ -157,9 +163,12 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
 
-    def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays):
+    def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays,
+                  cap=None):
         """Sort -> (fused pallas trace+shade | pallas traverse -> XLA
-        shade). Returns advanced state in sorted order."""
+        shade). Returns advanced state in sorted order. ``cap``: bounce
+        iterations inside the fused kernel this round (traced scalar,
+        >= 1; None -> 1)."""
         key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
@@ -177,7 +186,6 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         pix = ipack[:, 1]
         alive = ipack[:, 2] > 0
 
-        rays = rays + jnp.sum(alive.astype(jnp.float32))
         if fused:
             w = ray_o[0].shape[0]
             blocks = tuple(
@@ -186,13 +194,18 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                 jax.lax.bitcast_convert_type(
                     seed, jnp.int32).reshape(-1, BLOCK_LANES),
                 alive.astype(jnp.float32).reshape(-1, BLOCK_LANES))
+            cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
+                       else jnp.asarray(cap, jnp.int32).reshape(1))
             outs = bounce_megakernel(
-                scene.nodes4, scene.clusters, num4, blocks, one_cap,
+                scene.nodes4, scene.clusters, num4, blocks, cap_arr,
                 skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
                 bool(cfg.emissive_emits), t_min=float(cfg.t_min),
                 t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
                 interpret=fused_interpret)
             flat = lambda i: outs[i].reshape(w)
+            # Per-lane rays-traced counts from the kernel: exact for any
+            # cap (one count per bounce iteration a lane was live).
+            rays = rays + jnp.sum(outs[14])
             ray_o = (flat(0), flat(1), flat(2))
             ray_d = (flat(3), flat(4), flat(5))
             color = (flat(6), flat(7), flat(8))
@@ -201,6 +214,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                                                 ).reshape(w)
             alive = flat(13) > 0.5
         else:
+            rays = rays + jnp.sum(alive.astype(jnp.float32))
             res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
                                   interpret=interpret,
                                   sublanes=BOUNCE_SUBLANES)
@@ -225,6 +239,13 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
         def body(c):
             st, b, rays = c
+            if fused and WAVE_BCAP > 1:
+                # Multi-bounce fused round: sort once, bounce up to
+                # WAVE_BCAP times in-kernel (never past the bounce cap).
+                cap = jnp.minimum(jnp.int32(WAVE_BCAP),
+                                  cfg.max_bounces - b)
+                st = one_round(*st, rays, cap)
+                return st[:7], b + cap, st[7]
             st = one_round(*st, rays)
             return st[:7], b + 1, st[7]
 

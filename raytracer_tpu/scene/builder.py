@@ -277,7 +277,16 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
     from raytracer_tpu.bvh.bvh4 import collapse4
     from raytracer_tpu.core.fast_types import WIDE_WIDTH
 
-    nodes4, n4 = collapse4(nodes8, num_nodes, width=WIDE_WIDTH)
+    # Per-cluster live-triangle counts (leaf-id order = leaf_mask order):
+    # encoded in the wide leaf metas so the kernels skip padded halves.
+    # RAYTPU_LEAF_COUNTS=0 encodes full counts instead (A/B: kernels then
+    # always run both half-clusters).
+    counts = (bvh.node_ntri[leaf_mask].astype(np.int32)
+              if n else np.ones(1, np.int32))
+    if os.environ.get("RAYTPU_LEAF_COUNTS", "1") == "0":
+        counts = None
+    nodes4, n4 = collapse4(nodes8, num_nodes, width=WIDE_WIDTH,
+                           cluster_counts=counts)
     r4cap = _bucket(nodes4.shape[0])
     nodes4 = np.concatenate(
         [nodes4, np.zeros((r4cap - nodes4.shape[0], nodes4.shape[1]),

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from raytracer_tpu.bvh.lbvh import (build_fast_scene_device, build_lbvh_tables,
                                     morton30, pad_to_cluster_multiple)
 from raytracer_tpu.core.camera import Camera
+from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, LEAF_CID_BITS,
+                                           LEAF_CID_MASK)
 from raytracer_tpu.core.types import RenderConfig
 from raytracer_tpu.kernels.packet import render_linear_fast
 from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
@@ -180,7 +182,11 @@ def test_wide_emit_structure():
             if meta > 0:
                 stack.append(meta - 1)
             else:
-                seen.append(-meta - 1)
+                lid = -meta - 1
+                # Count-encoded leaf meta (core/fast_types.py): LBVH
+                # clusters are always full (count == CLUSTER_SIZE).
+                assert (lid >> LEAF_CID_BITS) + 1 == CLUSTER_SIZE
+                seen.append(lid & LEAF_CID_MASK)
     assert sorted(seen) == list(range(l))
     # Every emitted row is reachable (dense wide-id prefix).
     assert len(visited) == n_wide

@@ -115,6 +115,40 @@ def test_engine_loop_lifecycle():
         engine.stop()
 
 
+def test_engine_loop_pipeline_depth(monkeypatch):
+    """Pipelined dispatch (RAYTPU_PIPELINE frames in flight): frames
+    publish in submission order with no drops, and the in-flight queue
+    drains on stop so the last submitted frame is never lost."""
+    from raytracer_tpu.core.camera import Camera
+    from raytracer_tpu.engine.loop import RenderEngine
+    from raytracer_tpu.scene.scene import Scene
+
+    monkeypatch.setenv("RAYTPU_PIPELINE", "3")
+    engine = RenderEngine(RenderConfig(width=16, height=16, max_bounces=1))
+    engine.start()
+    try:
+        fut = engine.rebuild_scene_async(Scene([]))
+        fut.result(timeout=30)
+        cam = Camera(origin=(0, 2, 20), look_at=(0, 0, 0), vfov_deg=40,
+                     aspect_ratio=1.0)
+        engine.submit_camera_update(cam.uniforms())
+        numbers = []
+        deadline = time.time() + 120
+        while time.time() < deadline and len(numbers) < 6:
+            f = engine.latest_frame()
+            if f is not None:
+                numbers.append(f.frame_number)
+            time.sleep(0.02)
+        assert len(numbers) >= 6, "pipelined loop published no frames"
+        # latest_frame drains to latest, so numbers skip but never reorder.
+        assert numbers == sorted(numbers)
+    finally:
+        engine.stop()
+    # stop() flushed the in-flight tail.
+    tail = engine.latest_frame()
+    assert tail is None or tail.frame_number >= numbers[-1]
+
+
 def test_engine_loop_survives_bad_rebuild():
     """A failing rebuild keeps the engine alive (reference policy)."""
     from raytracer_tpu.engine.loop import RenderEngine

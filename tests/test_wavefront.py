@@ -90,6 +90,22 @@ def test_pwave_b0_matches_megakernel(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
+def test_multi_bounce_fused_round_matches(small_scene, monkeypatch):
+    """RAYTPU_WAVE_BCAP=3: sort once per 3 bounces, bounce in-kernel.
+    Per-ray RNG streams and strict closest-t make the image identical to
+    1-bounce rounds (sorting only changes layout); the kernel's per-lane
+    counts keep rays_traced exact across the uneven last round (4 = 3+1)."""
+    from raytracer_tpu.kernels import wavefront
+
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    monkeypatch.setattr(wavefront, "WAVE_BCAP", 3)
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=128, h=64, bounces=4)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert rays_got == rays_ref
+
+
 def test_fused_round_matches_split(small_scene, monkeypatch):
     """The fused trace+shade round (one Pallas call per round,
     kernels/pallas_mega.bounce_megakernel at bcap=1) must match the split
