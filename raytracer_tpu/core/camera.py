@@ -41,9 +41,15 @@ class Camera:
         self.vfov_deg = float(vfov_deg)
         self.aspect_ratio = float(aspect_ratio)
         self.frame_count = 0
+        # uniforms() transfer cache — see the method docstring.
+        self._pose_version = 0
+        self._uni_cache_key = None
+        self._uni_cache = None
+        self._fc_pool: dict = {}
         self._recalculate_viewport()
 
     def _recalculate_viewport(self) -> None:
+        self._pose_version += 1
         # Reference scene/Camera.java:44-68 formulas, verbatim semantics.
         theta = math.radians(self.vfov_deg)
         h = math.tan(theta / 2.0)
@@ -89,15 +95,43 @@ class Camera:
 
     def uniforms(self, sky_enabled: bool = True,
                  exposure: float = 0.0) -> CameraUniforms:
-        return CameraUniforms.create(
-            origin=self.origin,
-            lower_left_corner=self.lower_left_corner,
-            horizontal=self.horizontal,
-            vertical=self.vertical,
-            frame_count=self.frame_count,
-            sky_enabled=sky_enabled,
-            exposure=exposure,
-        )
+        """Per-frame UBO pytree, transfer-minimized.
+
+        Building fresh jnp arrays every frame costs one tunnel RPC per
+        leaf per dispatch (~4.5 ms/frame at 720p — exp24). While the pose
+        is unchanged, the six pose/flag leaves are served from a cache of
+        device-resident arrays (zero transfers), and the accumulation
+        counter for frame N+1 is device_put asynchronously while frame N
+        renders, so the only per-frame transfer is already on-chip by
+        dispatch time.
+        """
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        key = (self._pose_version, bool(sky_enabled), float(exposure))
+        if self._uni_cache_key != key:
+            self._uni_cache = CameraUniforms.create(
+                origin=self.origin,
+                lower_left_corner=self.lower_left_corner,
+                horizontal=self.horizontal,
+                vertical=self.vertical,
+                frame_count=0,
+                sky_enabled=sky_enabled,
+                exposure=exposure,
+            )
+            self._uni_cache_key = key
+        fc = self.frame_count
+        pool = self._fc_pool
+        fcd = pool.get(fc)
+        if fcd is None:
+            fcd = jnp.asarray(fc, jnp.int32)
+        # Prefetch the likely next counter; keep the pool at two entries.
+        nxt = pool.get(fc + 1)
+        if nxt is None:
+            nxt = jnp.asarray(fc + 1, jnp.int32)
+        self._fc_pool = {fc: fcd, fc + 1: nxt}
+        return dataclasses.replace(self._uni_cache, frame_count=fcd)
 
 
 def default_camera(width: int = 1280, height: int = 720) -> Camera:
