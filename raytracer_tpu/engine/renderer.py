@@ -76,23 +76,70 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
     nb = _num_bands(cfg)
     band_h = cfg.height // nb
     band_cfg = dataclasses.replace(cfg, height=band_h)
+    y_offsets = jnp.arange(nb, dtype=jnp.int32) * band_h
 
-    def render_band(_, y0):
+    tm = None
+    if rl is not render_linear:
+        from raytracer_tpu.kernels.packet import (tail_merge_active,
+                                                  tail_merge_widths)
+
+        if tail_merge_active(scene, cfg):
+            tm = tail_merge_widths(cfg, band_h, nb)
+
+    if tm is not None:
+        # Cross-band deep-round merge: each band runs primaries + the
+        # wide wavefront levels, hands off its live tail at a fixed
+        # width; the tails concatenate (with per-ray bounce budgets) and
+        # the deep rounds run ONCE per sample over all bands — 1/nb the
+        # per-round fixed costs and a full-frame sort radius exactly
+        # where bounce-ray coherence is worst. Bit-identical to the
+        # unmerged path (kernels/wavefront.wavefront_tail docstring).
+        handoff, merged_w = tm
+        from raytracer_tpu.kernels.wavefront import wavefront_tail
+
+        hw = cfg.height * cfg.width
+
         def sample_body(i, carry):
             total, rays = carry
-            color, stats = rl(scene, cam, band_cfg, sample_index=i,
-                              y_offset=y0, global_height=cfg.height)
-            return total + color, rays + stats["rays_traced"]
 
-        init = (jnp.zeros((band_h, cfg.width, 3), jnp.float32),
+            def render_band(_, y0):
+                color, stats, surv = rl(
+                    scene, cam, band_cfg, sample_index=i, y_offset=y0,
+                    global_height=cfg.height, tail_handoff=handoff)
+                return None, (color, stats["rays_traced"],
+                              surv[0], surv[1])
+
+            _, (bands, band_rays, sfs, sis) = jax.lax.scan(
+                render_band, None, y_offsets)
+            sf = jnp.moveaxis(sfs, 0, 1).reshape(sfs.shape[1], -1)
+            si = jnp.moveaxis(sis, 0, 1).reshape(sis.shape[1], -1)
+            cx, cy, cz, trays = wavefront_tail(
+                scene, sf, si, cam.sky_enabled > 0, cfg, out_size=hw)
+            tail = jnp.stack(
+                [c.reshape(cfg.height, cfg.width) for c in (cx, cy, cz)],
+                axis=-1)
+            total = total + bands.reshape(cfg.height, cfg.width, 3) + tail
+            return total, rays + jnp.sum(band_rays) + trays
+
+        init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
                 jnp.float32(0))
         total, rays = jax.lax.fori_loop(0, spp, sample_body, init)
-        return None, (total, rays)
+    else:
+        def render_band(_, y0):
+            def sample_body(i, carry):
+                total, rays = carry
+                color, stats = rl(scene, cam, band_cfg, sample_index=i,
+                                  y_offset=y0, global_height=cfg.height)
+                return total + color, rays + stats["rays_traced"]
 
-    y_offsets = jnp.arange(nb, dtype=jnp.int32) * band_h
-    _, (bands, band_rays) = jax.lax.scan(render_band, None, y_offsets)
-    total = bands.reshape(cfg.height, cfg.width, 3)
-    rays = jnp.sum(band_rays)
+            init = (jnp.zeros((band_h, cfg.width, 3), jnp.float32),
+                    jnp.float32(0))
+            total, rays = jax.lax.fori_loop(0, spp, sample_body, init)
+            return None, (total, rays)
+
+        _, (bands, band_rays) = jax.lax.scan(render_band, None, y_offsets)
+        total = bands.reshape(cfg.height, cfg.width, 3)
+        rays = jnp.sum(band_rays)
     linear = total / jnp.float32(spp)
 
     # Progressive running average keyed on frame_count — the accumulation

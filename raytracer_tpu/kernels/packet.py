@@ -456,10 +456,52 @@ def _tile_index(h, w):
     return yy, xx
 
 
+def tail_merge_widths(cfg: RenderConfig, band_h: int, nb: int):
+    """(handoff_width, merged_width) for the cross-band deep-round merge,
+    or None when the merge cannot apply: single band, fixed-light tier,
+    single-bounce, or a band too small to have deep levels. The handoff
+    is the band ladder width nearest band_rays/4 (>= MIN_WIDTH); merged
+    width = nb * handoff. RAYTPU_TAIL_MERGE=0 disables."""
+    import os
+
+    from raytracer_tpu.kernels.pallas_trace import BLOCK
+    from raytracer_tpu.kernels.wavefront import (MIN_WIDTH, BBLOCK,
+                                                 _round_widths)
+
+    if (nb <= 1 or cfg.max_bounces <= 1 or cfg.shading == "fixed_light"
+            or os.environ.get("RAYTPU_TAIL_MERGE", "1") == "0"):
+        return None
+    p = band_h * cfg.width
+    grain = max(BLOCK, BBLOCK)
+    p_pad = -(-p // grain) * grain
+    widths = _round_widths(p_pad)
+    target = max(MIN_WIDTH, p_pad // 4)
+    cands = [w for w in widths[1:] if w <= target]
+    if not cands:
+        return None
+    handoff = cands[0]
+    return handoff, nb * handoff
+
+
+def tail_merge_active(scene: FastScene, cfg: RenderConfig) -> bool:
+    """True when render_linear_fast would route bounces through the
+    packed wavefront engine (default pallas b0 + wave + fused on a
+    wide-BVH scene) — the only path that can hand off band tails."""
+    default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
+    bounce_default = "wave" if jax.default_backend() == "tpu" else "mega"
+    return (getattr(scene, "nodes4", None) is not None
+            and cfg.max_bounces > 1
+            and cfg.shading != "fixed_light"
+            and _os.environ.get("RAYTPU_B0", default_b0) == "pallas"
+            and _os.environ.get("RAYTPU_BOUNCE", bounce_default) == "wave"
+            and _os.environ.get("RAYTPU_WAVE", "fused") == "fused")
+
+
 def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                        cfg: RenderConfig, sample_index: jnp.ndarray | int = 0,
                        y_offset: jnp.ndarray | int = 0,
-                       global_height: int | None = None):
+                       global_height: int | None = None,
+                       tail_handoff: int | None = None):
     """Hybrid fast frame.
 
     Bounce 0: packet traversal over 8x8 pixel tiles (coherent).
@@ -467,6 +509,12 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
     shading semantics are identical to tracer.render_linear.
     ``y_offset``/``global_height`` render a row band of a taller frame
     (multi-chip sharding).
+
+    ``tail_handoff``: stop the wavefront ladder at this width and ALSO
+    return band survivors (sf, si) with global pixel ids + bounces-left
+    for the renderer's cross-band deep-round merge
+    (kernels/wavefront.wavefront_tail). Only valid on the default
+    pallas + wave path with a wide-BVH scene.
     """
     if cfg.height % TILE_H or cfg.width % TILE_W:
         raise ValueError("fast path needs resolution divisible by 8")
@@ -666,6 +714,24 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 # BBLOCK multiple too.)
                 from raytracer_tpu.kernels.wavefront import \
                     wavefront_bounces
+                if tail_handoff is not None:
+                    cx, cy, cz, rays, (tsf, tsi) = wavefront_bounces(
+                        scene, ray_o, ray_d, color, atten, seed, alive,
+                        sky_on, cfg, start_bounce=1, pix=pix_local,
+                        handoff_width=tail_handoff)
+                    # Survivor pixel ids go global for the cross-band
+                    # merge; the pad sentinel (p) maps to gh*w so merged
+                    # deposits still drop it.
+                    pixg = jnp.where(tsi[1] >= p, jnp.int32(gh * w),
+                                     tsi[1] + jnp.int32(y_offset) * w)
+                    survivors = (tsf, tsi.at[1].set(pixg))
+                    color = tuple(c[:p] for c in (cx, cy, cz))
+                    rays = rays + jnp.float32(p)
+                    stats = {"rays_traced": rays,
+                             "bounce_iters": jnp.int32(0)}
+                    image = jnp.stack([c.reshape(h, w) for c in color],
+                                      axis=-1)
+                    return image, stats, survivors
                 cx, cy, cz, rays = wavefront_bounces(
                     scene, ray_o, ray_d, color, atten, seed, alive,
                     sky_on, cfg, start_bounce=1, pix=pix_local)

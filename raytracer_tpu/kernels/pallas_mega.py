@@ -99,23 +99,38 @@ def _sphere(seed, active):
     return seed, x, y, z
 
 
-def make_kernel(fuzz_const, emissive_emits):
-    def kernel(num_ref, npack_ref, clusters_ref,
-               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
-               sky_ref, bcap_ref,
-               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
-               rays_r,
-               stack_s, row_s, crow_s, sema, csem,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
-               *, t_min, t_max, det_eps):
+class _RowView:
+    """[:]-get/set view of one leading-dim row of a 3-D Pallas ref.
+
+    Lets the kernel core below address a field either as its own
+    [sub, LANES] ref (legacy 14-block interface) or as row ``idx`` of a
+    packed [fields, sub, LANES] ref (packed interface) with identical
+    syntax; the leading index is a Python int, so Mosaic sees a static
+    leading-dim slice of a VMEM block.
+    """
+
+    __slots__ = ("ref", "idx")
+
+    def __init__(self, ref, idx):
+        self.ref = ref
+        self.idx = idx
+
+    def __getitem__(self, _):
+        return self.ref[self.idx]
+
+    def __setitem__(self, _, value):
+        self.ref[self.idx] = value
+
+
+def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
+                 sky_ref, bcap_ref, rays_r,
+                 stack_s, row_s, crow_s, sema, csem,
+                 t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+                 *, t_min, t_max, det_eps, fuzz_const, emissive_emits):
+        (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+         cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r) = outs
         # Copy state into the output refs; everything below mutates those.
-        for src, dst in ((i_rox, rox_r), (i_roy, roy_r), (i_roz, roz_r),
-                         (i_rdx, rdx_r), (i_rdy, rdy_r), (i_rdz, rdz_r),
-                         (i_cr, cr_r), (i_cg, cg_r), (i_cb, cb_r),
-                         (i_ar, ar_r), (i_ag, ag_r), (i_ab, ab_r),
-                         (i_seed, seed_r), (i_act, act_r)):
+        for src, dst in zip(ins, outs):
             dst[:] = src[:]
         rays_r[:] = jnp.zeros_like(rays_r[:])
 
@@ -391,7 +406,112 @@ def make_kernel(fuzz_const, emissive_emits):
 
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
 
+
+def make_kernel(fuzz_const, emissive_emits):
+    def kernel(num_ref, npack_ref, clusters_ref,
+               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
+               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
+               sky_ref, bcap_ref,
+               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
+               rays_r,
+               stack_s, row_s, crow_s, sema, csem,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               *, t_min, t_max, det_eps):
+        _kernel_core(
+            num_ref, npack_ref, clusters_ref,
+            (i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
+             i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act),
+            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+             cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r),
+            sky_ref, bcap_ref, rays_r,
+            stack_s, row_s, crow_s, sema, csem,
+            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+            t_min=t_min, t_max=t_max, det_eps=det_eps,
+            fuzz_const=fuzz_const, emissive_emits=emissive_emits)
+
     return kernel
+
+
+# Packed-state field order (kernels/wavefront.py carries ray state in this
+# layout across rounds so the per-round XLA glue is one gather per array
+# instead of a stack/take/unpack per field): sf f32 rows 0-11 = o3 d3
+# color3 atten3, row 12 = alive flag (0.0/1.0 — a genuine float, not a
+# bitcast); si i32 row 0 = PCG seed bits, rows 1+ pass through the kernel
+# untouched (row 1 = pixel id; the merged band-tail phase adds row 2 =
+# per-ray bounces-left budget).
+SF_FIELDS = 13
+SI_FIELDS = 2
+
+
+def make_kernel_packed(fuzz_const, emissive_emits):
+    def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
+               sky_ref, bcap_ref, sfo, sio, rays_r,
+               stack_s, row_s, crow_s, sema, csem,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               *, t_min, t_max, det_eps):
+        ins = tuple(_RowView(sfi, f) for f in range(12)) + (
+            _RowView(sii, 0), _RowView(sfi, 12))
+        outs = tuple(_RowView(sfo, f) for f in range(12)) + (
+            _RowView(sio, 0), _RowView(sfo, 12))
+        for r in range(1, sii.shape[0]):
+            sio[r] = sii[r]
+        _kernel_core(
+            num_ref, npack_ref, clusters_ref, ins, outs,
+            sky_ref, bcap_ref, rays_r,
+            stack_s, row_s, crow_s, sema, csem,
+            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+            t_min=t_min, t_max=t_max, det_eps=det_eps,
+            fuzz_const=fuzz_const, emissive_emits=emissive_emits)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
+                                             "t_min", "t_max", "det_eps",
+                                             "interpret"))
+def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
+                             sky, sub, fuzz, emis, t_min=1e-3, t_max=1e4,
+                             det_eps=1e-5, interpret=False):
+    """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
+    si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
+    through). Returns (sf', si', rays[rows, 128]) with identical
+    semantics to ``bounce_megakernel`` (same kernel core); only the ref
+    plumbing differs."""
+    rows = sf.shape[1]
+    si_fields = si.shape[0]
+    grid = rows // sub
+    blockf = pl.BlockSpec((SF_FIELDS, sub, LANES), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    blocki = pl.BlockSpec((si_fields, sub, LANES), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    blockr = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(make_kernel_packed(fuzz, emis),
+                               t_min=t_min, t_max=t_max, det_eps=det_eps)
+    out_shape = (jax.ShapeDtypeStruct((SF_FIELDS, rows, LANES),
+                                      jnp.float32),
+                 jax.ShapeDtypeStruct((si_fields, rows, LANES), jnp.int32),
+                 jax.ShapeDtypeStruct((rows, LANES), jnp.float32))
+    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
+                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident, blockf, blocki]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_shape=out_shape,
+        out_specs=(blockf, blocki, blockr),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes, npack, clusters, sf, si, sky, bcap)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",

@@ -48,8 +48,12 @@ import os as _os
 # union more divergent needs; the optimum shifts DOWN as per-visit costs
 # shrink. With the BVH8 stack kernel (exp17 sweep, 184k flagship band):
 # primaries S=8 1.00 ms (184 Mrays/s), sorted bounce-1 S=16 8.09 ms.
-PRIMARY_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_SUBLANES", "8"))
-BOUNCE_SUBLANES = int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES", "16"))
+# Floor of 8: Mosaic requires the sublane dim of a VMEM block be a
+# multiple of 8 (or the full array) — smaller values fail to lower.
+PRIMARY_SUBLANES = max(8, int(_os.environ.get("RAYTPU_PALLAS_SUBLANES",
+                                              "8")))
+BOUNCE_SUBLANES = max(8, int(_os.environ.get("RAYTPU_PALLAS_BSUBLANES",
+                                             "16")))
 BLOCK_LANES = 128
 BLOCK = PRIMARY_SUBLANES * BLOCK_LANES  # primary-path tile, rays
 # Tree steps per while-loop iteration (amortizes loop overhead; the second

@@ -131,7 +131,8 @@ def _round_widths(p: int):
 def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                       alive, sky_on, cfg: RenderConfig,
                       start_bounce: int = 1, pix=None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      handoff_width: int | None = None):
     """Sorted bounce rounds. State is flat [P] SoA (P multiple of BBLOCK).
 
     Semantics identical to packet.megakernel_bounces: every ray deposits
@@ -147,10 +148,23 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
-    # Fused trace+shade rounds need the wide-BVH table; RAYTPU_WAVE=split
-    # restores the pallas-traverse + XLA-shade round for A/B.
-    fused = (getattr(scene, "nodes4", None) is not None
-             and os.environ.get("RAYTPU_WAVE", "fused") == "fused")
+    # Fused trace+shade rounds need the wide-BVH table. RAYTPU_WAVE:
+    #   fused (default)  — packed-state rounds (_wavefront_packed): ray
+    #                      state lives in two packed arrays so per-round
+    #                      XLA glue is one gather per array,
+    #   fused_unpacked   — flat-SoA fused rounds (the pre-packing path,
+    #                      ~10 stack/take/slice fusions per round), A/B,
+    #   split            — pallas-traverse + XLA-shade rounds.
+    wave_env = os.environ.get("RAYTPU_WAVE", "fused")
+    has4 = getattr(scene, "nodes4", None) is not None
+    if has4 and wave_env == "fused":
+        return _wavefront_packed(scene, ray_o, ray_d, color, atten, seed,
+                                 alive, sky_on, cfg, start_bounce, pix,
+                                 smin, smax, key_mode, interpret,
+                                 handoff_width=handoff_width)
+    if handoff_width is not None:
+        raise ValueError("tail handoff requires the packed fused path")
+    fused = has4 and wave_env == "fused_unpacked"
     if fused:
         from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
 
@@ -291,5 +305,221 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         pix = ipack[:next_width, 1]
         alive = ipack[:next_width, 2] > 0
         state = (ray_o, ray_d, color, atten, seed, alive, pix)
+
+    return out[0], out[1], out[2], rays_traced
+
+
+def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
+                      sky_on, cfg, start_bounce, pix, smin, smax,
+                      key_mode, interpret, handoff_width=None):
+    """Packed-state sorted rounds (the default fused engine).
+
+    Semantics identical to the flat-SoA fused path (same kernel core,
+    same sort order, bit-identical output — parity-tested); the only
+    change is plumbing. Ray state is carried across rounds as two packed
+    arrays — sf [13, w] f32 (o3 d3 color3 atten3 alive) and si [2, w]
+    i32 (seed bits, pixel id) — so each round's XLA glue collapses to
+    key-compute, argsort, and ONE gather per array instead of a
+    stack/take/per-field-slice chain (~10 fusions, ~38 ms/frame of the
+    round-3 720p device trace, vs ~74 ms in-kernel).
+
+    RAYTPU_PACK_GATHER: ``col`` (default) gathers along axis 1 of the
+    field-major arrays; ``row`` transposes, row-gathers, transposes back
+    (A/B for XLA:TPU gather-layout behavior).
+    """
+    from raytracer_tpu.kernels.pallas_mega import (SF_FIELDS, SI_FIELDS,
+                                                   bounce_megakernel_packed)
+
+    p = ray_o[0].shape[0]
+    gather_mode = os.environ.get("RAYTPU_PACK_GATHER", "col")
+    fused_interpret = (jax.default_backend() != "tpu"
+                       if interpret is None else interpret)
+    num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+    skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+
+    sf = jnp.stack(list(ray_o) + list(ray_d) + list(color) + list(atten)
+                   + [alive.astype(jnp.float32)], axis=0)
+    si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32), pix],
+                   axis=0)
+
+    def sort_state(sf, si):
+        key = sort_key((sf[0], sf[1], sf[2]), (sf[3], sf[4], sf[5]),
+                       sf[12] > 0.5, smin, smax, key_mode)
+        order = jnp.argsort(key)
+        if gather_mode == "row":
+            return (jnp.take(sf.T, order, axis=0).T,
+                    jnp.take(si.T, order, axis=0).T)
+        return jnp.take(sf, order, axis=1), jnp.take(si, order, axis=1)
+
+    def one_round(sf, si, rays, cap=None):
+        sf, si = sort_state(sf, si)
+        w = sf.shape[1]
+        cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
+                   else jnp.asarray(cap, jnp.int32).reshape(1))
+        sfo, sio, raysb = bounce_megakernel_packed(
+            scene.nodes4, scene.clusters, num4,
+            sf.reshape(SF_FIELDS, -1, BLOCK_LANES),
+            si.reshape(SI_FIELDS, -1, BLOCK_LANES),
+            cap_arr, skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
+            bool(cfg.emissive_emits), t_min=float(cfg.t_min),
+            t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
+            interpret=fused_interpret)
+        return (sfo.reshape(SF_FIELDS, w), sio.reshape(SI_FIELDS, w),
+                rays + jnp.sum(raysb))
+
+    out = (jnp.zeros((p,), jnp.float32),) * 3
+    rays_traced = jnp.float32(0)
+    bounce = jnp.int32(start_bounce)
+    widths = _round_widths(p)
+    state = (sf, si)
+    for li, width in enumerate(widths):
+        if handoff_width is not None and width <= handoff_width:
+            # Band-tail handoff (kernels/packet.py tail merge): stop the
+            # ladder here and hand the survivors — live-sorted prefix of
+            # this width, plus a per-ray bounces-left budget row (all
+            # rays of a band share the same depth, but merged bands
+            # don't) — to the caller for the cross-band deep rounds.
+            sf, si = state
+            budget = jnp.broadcast_to(cfg.max_bounces - bounce,
+                                      (width,)).astype(jnp.int32)
+            return (out[0], out[1], out[2], rays_traced,
+                    (sf, jnp.concatenate([si, budget[None]], axis=0)))
+        is_last = li == len(widths) - 1
+        next_width = None if is_last else widths[li + 1]
+
+        def cond(c):
+            live = jnp.sum((c[0][0][12] > 0.5).astype(jnp.int32))
+            pending = (c[1] < cfg.max_bounces) & (live > 0)
+            if next_width is None:
+                return pending
+            return pending & (live > next_width)
+
+        def body(c):
+            (sfc, sic), b, rays = c
+            if WAVE_BCAP > 1:
+                cap = jnp.minimum(jnp.int32(WAVE_BCAP),
+                                  cfg.max_bounces - b)
+                sfc, sic, rays = one_round(sfc, sic, rays, cap)
+                return (sfc, sic), b + cap, rays
+            sfc, sic, rays = one_round(sfc, sic, rays)
+            return (sfc, sic), b + 1, rays
+
+        state, bounce, rays_traced = jax.lax.while_loop(
+            cond, body, (state, bounce, rays_traced))
+        sf, si = state
+        if is_last:
+            # Everyone still aboard deposits (alive-at-cap rays carry any
+            # emissive contribution; absorbed rays their accumulated
+            # color — the reference's kill-to-black at the bounce cap).
+            out = tuple(o.at[si[1]].add(sf[6 + j], mode="drop")
+                        for j, o in enumerate(out))
+            break
+
+        # Shrink: one more sort packs live rays into the prefix (the
+        # while cond guaranteed live <= next_width); the dead tail
+        # deposits and is dropped.
+        sf, si = sort_state(sf, si)
+        tail_pix = si[1, next_width:]
+        out = tuple(o.at[tail_pix].add(sf[6 + j, next_width:], mode="drop")
+                    for j, o in enumerate(out))
+        state = (sf[:, :next_width], si[:, :next_width])
+
+    return out[0], out[1], out[2], rays_traced
+
+
+def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
+                   interpret=None):
+    """Cross-band deep-round ladder over merged band survivors.
+
+    Per-band wavefronts hand off their live tails at a fixed width
+    (``_wavefront_packed(handoff_width=...)``); the caller concatenates
+    them and runs the deep bounces HERE, once per frame instead of once
+    per band — 1/nb the per-round fixed costs and a full-frame sort
+    radius exactly where ray coherence is worst. Because bands reach the
+    handoff at different bounce depths, depth is per-ray: si row 2
+    carries bounces-left, decremented per round; a ray dies when it hits
+    0 (identical kill rule to the per-band ``b < max_bounces`` cond, so
+    output is bit-identical to the unmerged path — each pixel's single
+    ray deposits exactly once either way).
+
+    ``si`` rows: seed bits, GLOBAL pixel id (deposits scatter into
+    ``[out_size]`` full-frame buffers; pad rays carry id >= out_size and
+    drop), bounces-left. Returns (cx, cy, cz, rays_traced).
+    """
+    from raytracer_tpu.kernels.pallas_mega import (SF_FIELDS,
+                                                   bounce_megakernel_packed)
+
+    p = sf.shape[1]
+    smin = tuple(scene.nodes8[0, ax] for ax in range(3))
+    smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
+    key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
+    gather_mode = os.environ.get("RAYTPU_PACK_GATHER", "col")
+    fused_interpret = (jax.default_backend() != "tpu"
+                       if interpret is None else interpret)
+    num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+    skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+    cap1 = jnp.ones((1,), jnp.int32)
+
+    def sort_state(sf, si):
+        key = sort_key((sf[0], sf[1], sf[2]), (sf[3], sf[4], sf[5]),
+                       sf[12] > 0.5, smin, smax, key_mode)
+        order = jnp.argsort(key)
+        if gather_mode == "row":
+            return (jnp.take(sf.T, order, axis=0).T,
+                    jnp.take(si.T, order, axis=0).T)
+        return jnp.take(sf, order, axis=1), jnp.take(si, order, axis=1)
+
+    def one_round(sf, si, rays):
+        sf, si = sort_state(sf, si)
+        entering = sf[12] > 0.5
+        w = sf.shape[1]
+        sfo, sio, raysb = bounce_megakernel_packed(
+            scene.nodes4, scene.clusters, num4,
+            sf.reshape(SF_FIELDS, -1, BLOCK_LANES),
+            si.reshape(si.shape[0], -1, BLOCK_LANES),
+            cap1, skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
+            bool(cfg.emissive_emits), t_min=float(cfg.t_min),
+            t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
+            interpret=fused_interpret)
+        sfo = sfo.reshape(SF_FIELDS, w)
+        sio = sio.reshape(si.shape[0], w)
+        budget = sio[2] - entering.astype(jnp.int32)
+        alive = (sfo[12] > 0.5) & (budget > 0)
+        sfo = sfo.at[12].set(alive.astype(jnp.float32))
+        sio = sio.at[2].set(budget)
+        return sfo, sio, rays + jnp.sum(raysb)
+
+    out = (jnp.zeros((out_size,), jnp.float32),) * 3
+    rays_traced = jnp.float32(0)
+    widths = _round_widths(p)
+    state = (sf, si)
+    for li, width in enumerate(widths):
+        is_last = li == len(widths) - 1
+        next_width = None if is_last else widths[li + 1]
+
+        def cond(c):
+            live = jnp.sum((c[0][0][12] > 0.5).astype(jnp.int32))
+            if next_width is None:
+                return live > 0
+            return live > next_width
+
+        def body(c):
+            (sfc, sic), rays = c
+            sfc, sic, rays = one_round(sfc, sic, rays)
+            return (sfc, sic), rays
+
+        state, rays_traced = jax.lax.while_loop(
+            cond, body, (state, rays_traced))
+        sf, si = state
+        if is_last:
+            out = tuple(o.at[si[1]].add(sf[6 + j], mode="drop")
+                        for j, o in enumerate(out))
+            break
+
+        sf, si = sort_state(sf, si)
+        tail_pix = si[1, next_width:]
+        out = tuple(o.at[tail_pix].add(sf[6 + j, next_width:], mode="drop")
+                    for j, o in enumerate(out))
+        state = (sf[:, :next_width], si[:, :next_width])
 
     return out[0], out[1], out[2], rays_traced

@@ -121,6 +121,57 @@ def test_fused_round_matches_split(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
+def test_packed_rounds_match_unpacked(small_scene, monkeypatch):
+    """The packed-state engine (_wavefront_packed — ray state carried as
+    two packed arrays, one gather per round) must be BIT-identical to the
+    flat-SoA fused path: same kernel core, same sort keys and argsort
+    order, only the XLA plumbing differs."""
+    monkeypatch.setenv("RAYTPU_WAVE", "fused_unpacked")
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128, bounces=5)
+    monkeypatch.setenv("RAYTPU_WAVE", "fused")
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128, bounces=5)
+    np.testing.assert_array_equal(got, ref)
+    assert rays_got == rays_ref
+
+
+def test_tail_merge_matches_unmerged(small_scene, monkeypatch):
+    """Cross-band deep-round merge (renderer + wavefront_tail): band
+    tails hand off at a fixed width, merge with per-ray bounce budgets,
+    and run the deep rounds once per sample. Must be BIT-identical to
+    the unmerged banded render: the budget kill rule replicates the
+    per-band ``b < max_bounces`` cond and each pixel's single ray
+    deposits exactly once either way."""
+    from raytracer_tpu.engine.renderer import Renderer
+
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    # 128x256 with 16384-ray bands -> nb=2, band ladder (16384, 8192),
+    # handoff 8192, merged tail 16384.
+    cfg = RenderConfig(width=128, height=256, max_bounces=5,
+                       kernel="packet", band_rays=16384)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=cfg.width / cfg.height)
+
+    from raytracer_tpu.kernels.packet import (tail_merge_active,
+                                              tail_merge_widths)
+    assert tail_merge_active(small_scene, cfg)
+    assert tail_merge_widths(cfg, cfg.height // 2, 2) == (8192, 16384)
+
+    monkeypatch.setenv("RAYTPU_TAIL_MERGE", "0")
+    r_ref = Renderer(cfg)
+    acc_ref, img_ref, st_ref = r_ref.render(small_scene, cam.uniforms())
+
+    monkeypatch.setenv("RAYTPU_TAIL_MERGE", "1")
+    r_tm = Renderer(cfg)
+    acc_tm, img_tm, st_tm = r_tm.render(small_scene, cam.uniforms())
+
+    np.testing.assert_array_equal(np.asarray(acc_tm), np.asarray(acc_ref))
+    np.testing.assert_array_equal(np.asarray(img_tm), np.asarray(img_ref))
+    assert float(st_tm["rays_traced"]) == float(st_ref["rays_traced"])
+
+
 @pytest.mark.parametrize("mode", ["pd5", "oct_morton"])
 def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
