@@ -494,7 +494,7 @@ def tail_merge_active(scene: FastScene, cfg: RenderConfig) -> bool:
             and cfg.shading != "fixed_light"
             and _os.environ.get("RAYTPU_B0", default_b0) == "pallas"
             and _os.environ.get("RAYTPU_BOUNCE", bounce_default) == "wave"
-            and _os.environ.get("RAYTPU_WAVE", "fused") == "fused")
+            and _os.environ.get("RAYTPU_WAVE", "fused") != "split")
 
 
 def render_linear_fast(scene: FastScene, cam: CameraUniforms,

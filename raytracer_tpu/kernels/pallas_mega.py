@@ -126,7 +126,8 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                  sky_ref, bcap_ref, rays_r,
                  stack_s, row_s, crow_s, sema, csem,
                  t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
-                 *, t_min, t_max, det_eps, fuzz_const, emissive_emits):
+                 *, t_min, t_max, det_eps, fuzz_const, emissive_emits,
+                 ordered=True):
         (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
          cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r) = outs
         # Copy state into the output refs; everything below mutates those.
@@ -148,9 +149,10 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             for r in (nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s):
                 r[:] = zero
 
-            mdx = jnp.sum(jnp.where(active, rdx, 0.0))
-            mdy = jnp.sum(jnp.where(active, rdy, 0.0))
-            mdz = jnp.sum(jnp.where(active, rdz, 0.0))
+            if ordered:
+                mdx = jnp.sum(jnp.where(active, rdx, 0.0))
+                mdy = jnp.sum(jnp.where(active, rdy, 0.0))
+                mdz = jnp.sum(jnp.where(active, rdz, 0.0))
 
             boot = pltpu.make_async_copy(npack_ref.at[0], row_s, sema)
             boot.start()
@@ -190,18 +192,29 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                     hit_c.append(hit)
                     meta_c.append(meta)
                     any_c.append(jnp.any(hit) & (meta != 0))
-                    key_c.append((g(0) + g(3)) * mdx + (g(1) + g(4)) * mdy
-                                 + (g(2) + g(5)) * mdz)
+                    if ordered:
+                        key_c.append((g(0) + g(3)) * mdx
+                                     + (g(1) + g(4)) * mdy
+                                     + (g(2) + g(5)) * mdz)
 
-                trip = [[key_c[i], meta_c[i], any_c[i] & (meta_c[i] > 0)]
-                        for i in range(WIDTH)]
-                for i, j in NET8:
-                    a_, b_ = trip[i], trip[j]
-                    sw = b_[0] > a_[0]
-                    for f in range(3):
-                        ai, bi = a_[f], b_[f]
-                        a_[f] = jnp.where(sw, bi, ai)
-                        b_[f] = jnp.where(sw, ai, bi)
+                # ordered=False (deep incoherent rounds): skip the
+                # near-first push network — the tile's mean direction is
+                # ~zero there, so the centroid key is noise and the 19
+                # scalar comparator swaps buy no pruning.
+                if ordered:
+                    trip = [[key_c[i], meta_c[i],
+                             any_c[i] & (meta_c[i] > 0)]
+                            for i in range(WIDTH)]
+                    for i, j in NET8:
+                        a_, b_ = trip[i], trip[j]
+                        sw = b_[0] > a_[0]
+                        for f in range(3):
+                            ai, bi = a_[f], b_[f]
+                            a_[f] = jnp.where(sw, bi, ai)
+                            b_[f] = jnp.where(sw, ai, bi)
+                else:
+                    trip = [[None, meta_c[i], any_c[i] & (meta_c[i] > 0)]
+                            for i in range(WIDTH)]
 
                 off = jnp.int32(0)
                 for _, pmeta, push in trip:
@@ -407,7 +420,7 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
 
 
-def make_kernel(fuzz_const, emissive_emits):
+def make_kernel(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref,
                i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
                i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
@@ -428,7 +441,8 @@ def make_kernel(fuzz_const, emissive_emits):
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
-            fuzz_const=fuzz_const, emissive_emits=emissive_emits)
+            fuzz_const=fuzz_const, emissive_emits=emissive_emits,
+            ordered=ordered)
 
     return kernel
 
@@ -444,7 +458,7 @@ SF_FIELDS = 13
 SI_FIELDS = 2
 
 
-def make_kernel_packed(fuzz_const, emissive_emits):
+def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
                sky_ref, bcap_ref, sfo, sio, rays_r,
                stack_s, row_s, crow_s, sema, csem,
@@ -462,17 +476,18 @@ def make_kernel_packed(fuzz_const, emissive_emits):
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
-            fuzz_const=fuzz_const, emissive_emits=emissive_emits)
+            fuzz_const=fuzz_const, emissive_emits=emissive_emits,
+            ordered=ordered)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
-                                             "interpret"))
+                                             "interpret", "ordered"))
 def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                              sky, sub, fuzz, emis, t_min=1e-3, t_max=1e4,
-                             det_eps=1e-5, interpret=False):
+                             det_eps=1e-5, interpret=False, ordered=True):
     """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
     si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
     through). Returns (sf', si', rays[rows, 128]) with identical
@@ -488,7 +503,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     blockr = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel_packed(fuzz, emis),
+    kernel = functools.partial(make_kernel_packed(fuzz, emis, ordered),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
     out_shape = (jax.ShapeDtypeStruct((SF_FIELDS, rows, LANES),
                                       jnp.float32),
@@ -516,10 +531,10 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
-                                             "interpret"))
+                                             "interpret", "ordered"))
 def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
                 fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
-                interpret=False):
+                interpret=False, ordered=True):
     """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
     seed(i32) act(f32). Returns 15 blocks: advanced state + per-lane
     rays-traced counts. t_min/t_max/det_eps come from the caller's
@@ -529,7 +544,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
     block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel(fuzz, emis),
+    kernel = functools.partial(make_kernel(fuzz, emis, ordered),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)

@@ -64,6 +64,21 @@ MIN_WIDTH = max(1, -(-int(os.environ.get("RAYTPU_WAVE_MINW",
 # productive range, if any, is small (A/B knob).
 WAVE_BCAP = max(1, int(os.environ.get("RAYTPU_WAVE_BCAP", "1")))
 
+# Skip the kernel's near-first push-ordering network for rounds narrower
+# than this (static per level). At deep incoherent rounds the tile mean
+# direction is ~zero, so the ordering key is noise and the 19 scalar
+# comparator swaps per visit buy no pruning. 0 = always ordered.
+ORDER_MINW = int(os.environ.get("RAYTPU_ORDER_MINW", "0"))
+
+# Wider tiles for deep rounds: an incoherent tile union-walks ~the whole
+# tree regardless of tile size, so doubling the tile halves the per-ray
+# share of the per-visit scalar cost. DEEP_SUB = sublanes to use for
+# levels at or below DEEP_MAXW rays (0 = off); widths are floored to the
+# deep grain so every level divides.
+DEEP_SUB = int(os.environ.get("RAYTPU_DEEP_SUB", "0"))
+DEEP_MAXW = int(os.environ.get("RAYTPU_DEEP_MAXW", "200000"))
+_GRAIN = max(BBLOCK, DEEP_SUB * BLOCK_LANES if DEEP_SUB else 0)
+
 
 def _part1by2(v):
     """Spread the low 10 bits of u32 v to every 3rd bit."""
@@ -102,30 +117,47 @@ def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5"):
                 code = code | (((c >> jnp.uint32(b)) & jnp.uint32(1))
                                << jnp.uint32(6 * b + i))
         return dead | code
-    # oct_morton: octant(3) | morton 9 bits/axis (27)
+    # pos: pure position morton, 10 bits/axis — no direction bits at all.
+    # Candidate for deep bounces, where directions are near-uniform and
+    # pd5's interleaved direction bits fragment spatial tile coherence.
+    # oct_morton: octant(3) | morton 9 bits/axis (27).
+    morton = jnp.uint32(0)
+    bits = 10 if mode == "pos" else 9
+    q_max = float((1 << bits) - 1)
+    for ax in range(3):
+        span = jnp.maximum(smax[ax] - smin[ax], 1e-6)
+        q = jnp.clip((ray_o[ax] - smin[ax]) / span * q_max,
+                     0.0, q_max).astype(jnp.uint32)
+        morton = morton | (_part1by2(q) << jnp.uint32(ax))
+    if mode == "pos":
+        return dead | (morton & jnp.uint32((1 << 30) - 1))
     octant = ((ray_d[0] > 0).astype(jnp.uint32)
               | ((ray_d[1] > 0).astype(jnp.uint32) << 1)
               | ((ray_d[2] > 0).astype(jnp.uint32) << 2))
-    morton = jnp.uint32(0)
-    for ax in range(3):
-        span = jnp.maximum(smax[ax] - smin[ax], 1e-6)
-        q = jnp.clip((ray_o[ax] - smin[ax]) / span * 511.0,
-                     0.0, 511.0).astype(jnp.uint32)
-        morton = morton | (_part1by2(q) << jnp.uint32(ax))
     morton = morton & jnp.uint32((1 << 27) - 1)
     return dead | (octant << jnp.uint32(28)) | morton
 
 
 def _round_widths(p: int):
     """Static level schedule p, ~p/2, ~p/4, ... floored at MIN_WIDTH, every
-    width rounded down to a whole number of Pallas blocks."""
+    width rounded down to a whole number of Pallas blocks (of the deep
+    grain too, when RAYTPU_DEEP_SUB widens deep-level tiles)."""
     widths = [p]
     while True:
-        nxt = (widths[-1] // 2 // BBLOCK) * BBLOCK
+        nxt = (widths[-1] // 2 // _GRAIN) * _GRAIN
         if nxt < MIN_WIDTH:
             break
         widths.append(nxt)
     return widths
+
+
+def _level_sub(width: int) -> int:
+    """Static per-level tile sublanes: DEEP_SUB for deep (narrow) levels
+    when enabled and dividing, BOUNCE_SUBLANES otherwise."""
+    if (DEEP_SUB and width <= DEEP_MAXW
+            and width % (DEEP_SUB * BLOCK_LANES) == 0):
+        return DEEP_SUB
+    return BOUNCE_SUBLANES
 
 
 def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
@@ -149,22 +181,26 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
     # Fused trace+shade rounds need the wide-BVH table. RAYTPU_WAVE:
-    #   fused (default)  — packed-state rounds (_wavefront_packed): ray
-    #                      state lives in two packed arrays so per-round
-    #                      XLA glue is one gather per array,
-    #   fused_unpacked   — flat-SoA fused rounds (the pre-packing path,
-    #                      ~10 stack/take/slice fusions per round), A/B,
+    #   fused (default)  — flat-SoA fused rounds: per-round glue is a
+    #                      stack + row-gather + per-field unpack (~38 ms
+    #                      of the 130 ms 720p frame),
+    #   fused_packed     — A/B: state as two packed arrays with one
+    #                      gather each. REGRESSED at frame level (5.4 vs
+    #                      7.0 FPS): the [13,w] axis-1 gather is a
+    #                      minor-dim stride XLA:TPU fuses badly (+42 ms
+    #                      of fusions/frame, traced r3) even though the
+    #                      packed kernel itself is at par,
     #   split            — pallas-traverse + XLA-shade rounds.
     wave_env = os.environ.get("RAYTPU_WAVE", "fused")
     has4 = getattr(scene, "nodes4", None) is not None
-    if has4 and wave_env == "fused":
+    if has4 and wave_env == "fused_packed":
         return _wavefront_packed(scene, ray_o, ray_d, color, atten, seed,
                                  alive, sky_on, cfg, start_bounce, pix,
                                  smin, smax, key_mode, interpret,
                                  handoff_width=handoff_width)
-    if handoff_width is not None:
-        raise ValueError("tail handoff requires the packed fused path")
-    fused = has4 and wave_env == "fused_unpacked"
+    fused = has4 and wave_env != "split"
+    if handoff_width is not None and not fused:
+        raise ValueError("tail handoff requires a fused wavefront path")
     if fused:
         from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
 
@@ -178,27 +214,63 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     bounce = jnp.int32(start_bounce)
 
     def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays,
-                  cap=None):
+                  cap=None, ordered=True, sub=BOUNCE_SUBLANES):
         """Sort -> (fused pallas trace+shade | pallas traverse -> XLA
         shade). Returns advanced state in sorted order. ``cap``: bounce
         iterations inside the fused kernel this round (traced scalar,
         >= 1; None -> 1)."""
         key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
         order = jnp.argsort(key)
-        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                          + list(atten), axis=-1)           # [w, 12]
-        fpack = jnp.take(fpack, order, axis=0)
-        ipack = jnp.stack(
-            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
-             alive.astype(jnp.int32)], axis=-1)
-        ipack = jnp.take(ipack, order, axis=0)
-        ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
-        ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-        color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
-        atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
-        seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
-        pix = ipack[:, 1]
-        alive = ipack[:, 2] > 0
+        glue = os.environ.get("RAYTPU_GLUE", "pack")
+        if glue == "perfield":
+            # A/B: fifteen 1-D gathers instead of stack + row-gather +
+            # per-field unpack (the pmega-path glue style). Measured
+            # TERRIBLE on TPU (3.9 vs 7.2 FPS flagship): 4-byte gather
+            # granularity.
+            tk = lambda c: jnp.take(c, order)
+            ray_o = tuple(tk(c) for c in ray_o)
+            ray_d = tuple(tk(c) for c in ray_d)
+            color = tuple(tk(c) for c in color)
+            atten = tuple(tk(c) for c in atten)
+            seed = tk(seed)
+            pix = tk(pix)
+            alive = tk(alive)
+        elif glue == "one":
+            # A/B: ONE [w,15] gather (60-byte rows) instead of separate
+            # [w,12] + [w,3]. Assembled entirely in i32 — f32 bits must
+            # never ride f32 concat/elementwise fusions on TPU (CLAUDE.md
+            # denormal/NaN canonicalization rule); bitcasts + gathers
+            # preserve bits.
+            ib = jax.lax.bitcast_convert_type
+            allpack = jnp.stack(
+                [ib(c, jnp.int32)
+                 for c in (*ray_o, *ray_d, *color, *atten)]
+                + [ib(seed, jnp.int32), pix, alive.astype(jnp.int32)],
+                axis=-1)
+            allpack = jnp.take(allpack, order, axis=0)
+            f = lambda j: ib(allpack[:, j], jnp.float32)
+            ray_o = (f(0), f(1), f(2))
+            ray_d = (f(3), f(4), f(5))
+            color = (f(6), f(7), f(8))
+            atten = (f(9), f(10), f(11))
+            seed = ib(allpack[:, 12], jnp.uint32)
+            pix = allpack[:, 13]
+            alive = allpack[:, 14] > 0
+        else:
+            fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
+                              + list(atten), axis=-1)       # [w, 12]
+            fpack = jnp.take(fpack, order, axis=0)
+            ipack = jnp.stack(
+                [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
+                 alive.astype(jnp.int32)], axis=-1)
+            ipack = jnp.take(ipack, order, axis=0)
+            ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
+            ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
+            color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
+            atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
+            seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
+            pix = ipack[:, 1]
+            alive = ipack[:, 2] > 0
 
         if fused:
             w = ray_o[0].shape[0]
@@ -212,10 +284,10 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                        else jnp.asarray(cap, jnp.int32).reshape(1))
             outs = bounce_megakernel(
                 scene.nodes4, scene.clusters, num4, blocks, cap_arr,
-                skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
+                skyf, sub, float(cfg.fuzz),
                 bool(cfg.emissive_emits), t_min=float(cfg.t_min),
                 t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
-                interpret=fused_interpret)
+                interpret=fused_interpret, ordered=ordered)
             flat = lambda i: outs[i].reshape(w)
             # Per-lane rays-traced counts from the kernel: exact for any
             # cap (one count per bounce iteration a lane was live).
@@ -239,8 +311,25 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     widths = _round_widths(p)
     state = (ray_o, ray_d, color, atten, seed, alive, pix)
     for li, width in enumerate(widths):
+        if handoff_width is not None and width <= handoff_width:
+            # Band-tail handoff (kernels/packet.py tail merge): stop the
+            # ladder and hand the survivors to the caller as two packed
+            # arrays (stacked ONCE here, not per round) with a per-ray
+            # bounces-left budget — bands reach the handoff at
+            # different depths, so depth must ride with the ray.
+            ray_o, ray_d, color, atten, seed, alive, pix = state
+            sf = jnp.stack(list(ray_o) + list(ray_d) + list(color)
+                           + list(atten) + [alive.astype(jnp.float32)],
+                           axis=0)
+            budget = jnp.broadcast_to(cfg.max_bounces - bounce,
+                                      (width,)).astype(jnp.int32)
+            si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32),
+                            pix, budget], axis=0)
+            return out[0], out[1], out[2], rays_traced, (sf, si)
         is_last = li == len(widths) - 1
         next_width = None if is_last else widths[li + 1]
+        lvl_ordered = ORDER_MINW == 0 or width >= ORDER_MINW
+        lvl_sub = _level_sub(width)
 
         def cond(c):
             alive_c = c[0][5]
@@ -258,9 +347,10 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                 # WAVE_BCAP times in-kernel (never past the bounce cap).
                 cap = jnp.minimum(jnp.int32(WAVE_BCAP),
                                   cfg.max_bounces - b)
-                st = one_round(*st, rays, cap)
+                st = one_round(*st, rays, cap, ordered=lvl_ordered,
+                               sub=lvl_sub)
                 return st[:7], b + cap, st[7]
-            st = one_round(*st, rays)
+            st = one_round(*st, rays, ordered=lvl_ordered, sub=lvl_sub)
             return st[:7], b + 1, st[7]
 
         state, bounce, rays_traced = jax.lax.while_loop(
@@ -432,7 +522,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     """Cross-band deep-round ladder over merged band survivors.
 
     Per-band wavefronts hand off their live tails at a fixed width
-    (``_wavefront_packed(handoff_width=...)``); the caller concatenates
+    (``wavefront_bounces(handoff_width=...)``); the caller concatenates
     them and runs the deep bounces HERE, once per frame instead of once
     per band — 1/nb the per-round fixed costs and a full-frame sort
     radius exactly where ray coherence is worst. Because bands reach the
@@ -442,84 +532,136 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     output is bit-identical to the unmerged path — each pixel's single
     ray deposits exactly once either way).
 
+    The packed (sf, si) arrays are only the hand-off FORMAT (stackable
+    across the band scan); rounds here unpack once and run the same
+    flat-SoA glue as the default engine — the packed per-round gather
+    regressed 1.3x at frame level (see wavefront_bounces docstring).
+
     ``si`` rows: seed bits, GLOBAL pixel id (deposits scatter into
     ``[out_size]`` full-frame buffers; pad rays carry id >= out_size and
     drop), bounces-left. Returns (cx, cy, cz, rays_traced).
     """
-    from raytracer_tpu.kernels.pallas_mega import (SF_FIELDS,
-                                                   bounce_megakernel_packed)
+    from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
 
     p = sf.shape[1]
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
-    gather_mode = os.environ.get("RAYTPU_PACK_GATHER", "col")
     fused_interpret = (jax.default_backend() != "tpu"
                        if interpret is None else interpret)
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
     cap1 = jnp.ones((1,), jnp.int32)
 
-    def sort_state(sf, si):
-        key = sort_key((sf[0], sf[1], sf[2]), (sf[3], sf[4], sf[5]),
-                       sf[12] > 0.5, smin, smax, key_mode)
-        order = jnp.argsort(key)
-        if gather_mode == "row":
-            return (jnp.take(sf.T, order, axis=0).T,
-                    jnp.take(si.T, order, axis=0).T)
-        return jnp.take(sf, order, axis=1), jnp.take(si, order, axis=1)
+    ray_o = (sf[0], sf[1], sf[2])
+    ray_d = (sf[3], sf[4], sf[5])
+    color = (sf[6], sf[7], sf[8])
+    atten = (sf[9], sf[10], sf[11])
+    alive = sf[12] > 0.5
+    seed = jax.lax.bitcast_convert_type(si[0], jnp.uint32)
+    pix = si[1]
+    budget = si[2]
 
-    def one_round(sf, si, rays):
-        sf, si = sort_state(sf, si)
-        entering = sf[12] > 0.5
-        w = sf.shape[1]
-        sfo, sio, raysb = bounce_megakernel_packed(
-            scene.nodes4, scene.clusters, num4,
-            sf.reshape(SF_FIELDS, -1, BLOCK_LANES),
-            si.reshape(si.shape[0], -1, BLOCK_LANES),
-            cap1, skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
-            bool(cfg.emissive_emits), t_min=float(cfg.t_min),
-            t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
-            interpret=fused_interpret)
-        sfo = sfo.reshape(SF_FIELDS, w)
-        sio = sio.reshape(si.shape[0], w)
-        budget = sio[2] - entering.astype(jnp.int32)
-        alive = (sfo[12] > 0.5) & (budget > 0)
-        sfo = sfo.at[12].set(alive.astype(jnp.float32))
-        sio = sio.at[2].set(budget)
-        return sfo, sio, rays + jnp.sum(raysb)
+    def one_round(ray_o, ray_d, color, atten, seed, alive, pix, budget,
+                  rays, ordered=True, sub=BOUNCE_SUBLANES):
+        """Sort -> fused walk+shade -> budget decrement. Same glue as the
+        default engine plus the budget column in ipack."""
+        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+        order = jnp.argsort(key)
+        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
+                          + list(atten), axis=-1)
+        fpack = jnp.take(fpack, order, axis=0)
+        ipack = jnp.stack(
+            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
+             alive.astype(jnp.int32)], axis=-1)
+        ipack = jnp.take(ipack, order, axis=0)
+        ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
+        ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
+        color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
+        atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
+        seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
+        pix = ipack[:, 1]
+        budget = ipack[:, 2]
+        entering = ipack[:, 3] > 0
+
+        w = ray_o[0].shape[0]
+        blocks = tuple(
+            c.reshape(-1, BLOCK_LANES)
+            for c in (*ray_o, *ray_d, *color, *atten)) + (
+            jax.lax.bitcast_convert_type(
+                seed, jnp.int32).reshape(-1, BLOCK_LANES),
+            entering.astype(jnp.float32).reshape(-1, BLOCK_LANES))
+        outs = bounce_megakernel(
+            scene.nodes4, scene.clusters, num4, blocks, cap1, skyf,
+            sub, float(cfg.fuzz), bool(cfg.emissive_emits),
+            t_min=float(cfg.t_min), t_max=float(cfg.t_max),
+            det_eps=float(cfg.det_eps), interpret=fused_interpret,
+            ordered=ordered)
+        flat = lambda i: outs[i].reshape(w)
+        rays = rays + jnp.sum(outs[14])
+        ray_o = (flat(0), flat(1), flat(2))
+        ray_d = (flat(3), flat(4), flat(5))
+        color = (flat(6), flat(7), flat(8))
+        atten = (flat(9), flat(10), flat(11))
+        seed = jax.lax.bitcast_convert_type(outs[12],
+                                            jnp.uint32).reshape(w)
+        budget = budget - entering.astype(jnp.int32)
+        alive = (flat(13) > 0.5) & (budget > 0)
+        return ray_o, ray_d, color, atten, seed, alive, pix, budget, rays
 
     out = (jnp.zeros((out_size,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
     widths = _round_widths(p)
-    state = (sf, si)
+    state = (ray_o, ray_d, color, atten, seed, alive, pix, budget)
     for li, width in enumerate(widths):
         is_last = li == len(widths) - 1
         next_width = None if is_last else widths[li + 1]
+        lvl_ordered = ORDER_MINW == 0 or width >= ORDER_MINW
+        lvl_sub = _level_sub(width)
 
         def cond(c):
-            live = jnp.sum((c[0][0][12] > 0.5).astype(jnp.int32))
+            live = jnp.sum(c[0][5].astype(jnp.int32))
             if next_width is None:
                 return live > 0
             return live > next_width
 
         def body(c):
-            (sfc, sic), rays = c
-            sfc, sic, rays = one_round(sfc, sic, rays)
-            return (sfc, sic), rays
+            st, rays = c
+            st = one_round(*st, rays, ordered=lvl_ordered, sub=lvl_sub)
+            return st[:8], st[8]
 
         state, rays_traced = jax.lax.while_loop(
             cond, body, (state, rays_traced))
-        sf, si = state
+        ray_o, ray_d, color, atten, seed, alive, pix, budget = state
         if is_last:
-            out = tuple(o.at[si[1]].add(sf[6 + j], mode="drop")
-                        for j, o in enumerate(out))
+            out = tuple(o.at[pix].add(c, mode="drop")
+                        for o, c in zip(out, color))
             break
 
-        sf, si = sort_state(sf, si)
-        tail_pix = si[1, next_width:]
-        out = tuple(o.at[tail_pix].add(sf[6 + j, next_width:], mode="drop")
-                    for j, o in enumerate(out))
-        state = (sf[:, :next_width], si[:, :next_width])
+        # Shrink: sort packs live rays into the prefix; the dead tail
+        # deposits and is dropped.
+        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+        order = jnp.argsort(key)
+        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
+                          + list(atten), axis=-1)
+        fpack = jnp.take(fpack, order, axis=0)
+        ipack = jnp.stack(
+            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
+             alive.astype(jnp.int32)], axis=-1)
+        ipack = jnp.take(ipack, order, axis=0)
+        tail_pix = ipack[next_width:, 1]
+        out = tuple(
+            o.at[tail_pix].add(fpack[next_width:, 6 + j], mode="drop")
+            for j, o in enumerate(out))
+        ray_o = tuple(fpack[:next_width, j] for j in range(3))
+        ray_d = tuple(fpack[:next_width, 3 + j] for j in range(3))
+        color = tuple(fpack[:next_width, 6 + j] for j in range(3))
+        atten = tuple(fpack[:next_width, 9 + j] for j in range(3))
+        seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
+                                            jnp.uint32)
+        pix = ipack[:next_width, 1]
+        budget = ipack[:next_width, 2]
+        alive = ipack[:next_width, 3] > 0
+        state = (ray_o, ray_d, color, atten, seed, alive, pix, budget)
 
     return out[0], out[1], out[2], rays_traced

@@ -121,15 +121,16 @@ def test_fused_round_matches_split(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
-def test_packed_rounds_match_unpacked(small_scene, monkeypatch):
-    """The packed-state engine (_wavefront_packed — ray state carried as
-    two packed arrays, one gather per round) must be BIT-identical to the
+def test_packed_rounds_match_flat(small_scene, monkeypatch):
+    """The packed-state A/B engine (_wavefront_packed — ray state carried
+    as two packed arrays, one gather per round; frame-level regression on
+    TPU, kept for re-evaluation) must be BIT-identical to the default
     flat-SoA fused path: same kernel core, same sort keys and argsort
     order, only the XLA plumbing differs."""
-    monkeypatch.setenv("RAYTPU_WAVE", "fused_unpacked")
+    monkeypatch.setenv("RAYTPU_WAVE", "fused")
     ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
                             w=256, h=128, bounces=5)
-    monkeypatch.setenv("RAYTPU_WAVE", "fused")
+    monkeypatch.setenv("RAYTPU_WAVE", "fused_packed")
     got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
                             w=256, h=128, bounces=5)
     np.testing.assert_array_equal(got, ref)
@@ -172,7 +173,7 @@ def test_tail_merge_matches_unmerged(small_scene, monkeypatch):
     assert float(st_tm["rays_traced"]) == float(st_ref["rays_traced"])
 
 
-@pytest.mark.parametrize("mode", ["pd5", "oct_morton"])
+@pytest.mark.parametrize("mode", ["pd5", "oct_morton", "pos"])
 def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
 
@@ -197,6 +198,18 @@ def test_sort_key_orders_dead_last(mode):
             | ((np.asarray(rd[1]) > 0).astype(np.uint32) << 1)
             | ((np.asarray(rd[2]) > 0).astype(np.uint32) << 2))
         assert (np.diff(octant[live_sorted]) >= 0).all()
+    elif mode == "pos":
+        # pure position morton: top interleave bit = z top bit (z >= 0
+        # sorts after z < 0); direction must not influence the key
+        oz = np.asarray(ro[2])[live_sorted]
+        z_pos = oz > 0.01
+        z_neg = oz < -0.01
+        first_pos = np.argmax(z_pos) if z_pos.any() else len(z_pos)
+        assert not z_neg[first_pos:].any()
+        key2 = np.asarray(sort_key(ro, tuple(-d for d in rd), alive,
+                                   (jnp.float32(-5),) * 3,
+                                   (jnp.float32(5),) * 3, mode))
+        np.testing.assert_array_equal(key2, key)
     else:
         # top interleave bit = direction-z top bit: dz>0 after dz<0
         dz_pos = np.asarray(rd[2])[live_sorted] > 0.032  # q=16 boundary
