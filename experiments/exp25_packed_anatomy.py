@@ -115,7 +115,7 @@ def main():
         si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32)
                         + salt,
                         jnp.arange(p, dtype=jnp.int32)], axis=0)
-        sfo, sio, raysb = bounce_megakernel_packed(
+        sfo, sio, raysb, liveb = bounce_megakernel_packed(
             scene.nodes4, scene.clusters, num4,
             sf.reshape(13, -1, 128), si.reshape(2, -1, 128), cap1, sky1,
             SUB, float(cfg.fuzz), False, t_min=float(cfg.t_min),

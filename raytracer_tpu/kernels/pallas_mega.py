@@ -24,8 +24,8 @@ for draw with kernels/rng.py, bounded at REJECTION_ROUNDS on both sides),
 sky gradient (``:81-85``), Lambertian / metal / fuzzy metal / emissive
 (``:132-154``).
 
-State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 15 outputs
-(advanced state + per-lane rays-traced counts). Seeds ride in an int32
+State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 16 outputs
+(advanced state + per-tile rays-traced and final-live count rows). Seeds ride in an int32
 block: bitcast-int f32 data through XLA f32 ops flushes denormals and
 canonicalizes NaNs on TPU (see CLAUDE.md / bvh/lbvh.py).
 
@@ -123,7 +123,7 @@ class _RowView:
 
 
 def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
-                 sky_ref, bcap_ref, rays_r,
+                 sky_ref, bcap_ref, rays_r, live_r,
                  stack_s, row_s, crow_s, sema, csem,
                  t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                  *, t_min, t_max, det_eps, fuzz_const, emissive_emits,
@@ -412,12 +412,17 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             return (b < bcap) & jnp.any(act_r[:] > 0.5)
 
         def bbody(b):
-            rays_r[:] = rays_r[:] + act_r[:]
+            # Per-tile count row: summing over sublanes in-kernel keeps
+            # the XLA-side rays/live reductions at [grid, 128] instead of
+            # [w] (the cond-loop slice_reduce fusions were ~5 ms/frame).
+            rays_r[:] = rays_r[:] + jnp.sum(act_r[:], axis=0,
+                                            keepdims=True)
             walk()
             shade()
             return b + 1
 
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
+        live_r[:] = jnp.sum(act_r[:], axis=0, keepdims=True)
 
 
 def make_kernel(fuzz_const, emissive_emits, ordered=True):
@@ -427,7 +432,7 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
                sky_ref, bcap_ref,
                rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
                cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
-               rays_r,
+               rays_r, live_r,
                stack_s, row_s, crow_s, sema, csem,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                *, t_min, t_max, det_eps):
@@ -437,7 +442,7 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
              i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act),
             (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
              cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r),
-            sky_ref, bcap_ref, rays_r,
+            sky_ref, bcap_ref, rays_r, live_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
@@ -460,7 +465,7 @@ SI_FIELDS = 2
 
 def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
-               sky_ref, bcap_ref, sfo, sio, rays_r,
+               sky_ref, bcap_ref, sfo, sio, rays_r, live_r,
                stack_s, row_s, crow_s, sema, csem,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                *, t_min, t_max, det_eps):
@@ -472,7 +477,7 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
             sio[r] = sii[r]
         _kernel_core(
             num_ref, npack_ref, clusters_ref, ins, outs,
-            sky_ref, bcap_ref, rays_r,
+            sky_ref, bcap_ref, rays_r, live_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
@@ -490,7 +495,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                              det_eps=1e-5, interpret=False, ordered=True):
     """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
     si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
-    through). Returns (sf', si', rays[rows, 128]) with identical
+    through). Returns (sf', si', rays[grid,128], live[grid,128]) with identical
     semantics to ``bounce_megakernel`` (same kernel core); only the ref
     plumbing differs."""
     rows = sf.shape[1]
@@ -500,7 +505,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                           memory_space=pltpu.VMEM)
     blocki = pl.BlockSpec((si_fields, sub, LANES), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    blockr = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+    blockr = pl.BlockSpec((1, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(make_kernel_packed(fuzz, emis, ordered),
@@ -508,7 +513,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     out_shape = (jax.ShapeDtypeStruct((SF_FIELDS, rows, LANES),
                                       jnp.float32),
                  jax.ShapeDtypeStruct((si_fields, rows, LANES), jnp.int32),
-                 jax.ShapeDtypeStruct((rows, LANES), jnp.float32))
+                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
@@ -521,7 +527,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                   resident, resident, blockf, blocki]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_shape=out_shape,
-        out_specs=(blockf, blocki, blockr),
+        out_specs=(blockf, blocki, blockr, blockr),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -536,19 +542,23 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
                 fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
                 interpret=False, ordered=True):
     """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
-    seed(i32) act(f32). Returns 15 blocks: advanced state + per-lane
-    rays-traced counts. t_min/t_max/det_eps come from the caller's
+    seed(i32) act(f32). Returns 16 blocks: advanced state + [grid,128]
+    rays-traced and final-live count rows (summed over sublanes
+    in-kernel so the callers' reductions stay tiny). t_min/t_max/det_eps come from the caller's
     RenderConfig so this path cannot diverge from the wave/mega paths."""
     rows = state[0].shape[0]
     grid = rows // sub
     block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(make_kernel(fuzz, emis, ordered),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    out_shape = (outf,) * 12 + (outi,) + (outf,) * 2
+    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
+    out_shape = (outf,) * 12 + (outi, outf, outc, outc)
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
@@ -561,7 +571,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
                   resident, resident] + [block] * 14
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_shape=out_shape,
-        out_specs=(block,) * 15,
+        out_specs=(block,) * 14 + (cblock, cblock),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

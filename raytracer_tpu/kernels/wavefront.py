@@ -289,9 +289,11 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                 t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
                 interpret=fused_interpret, ordered=ordered)
             flat = lambda i: outs[i].reshape(w)
-            # Per-lane rays-traced counts from the kernel: exact for any
-            # cap (one count per bounce iteration a lane was live).
+            # Per-tile count rows from the kernel: exact for any cap (one
+            # count per bounce iteration a lane was live); summing
+            # [grid,128] here keeps the while-cond reduction tiny.
             rays = rays + jnp.sum(outs[14])
+            live = jnp.sum(outs[15])
             ray_o = (flat(0), flat(1), flat(2))
             ray_d = (flat(3), flat(4), flat(5))
             color = (flat(6), flat(7), flat(8))
@@ -306,7 +308,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                                   sublanes=BOUNCE_SUBLANES)
             ray_o, ray_d, color, atten, seed, alive = shade(
                 res, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg)
-        return ray_o, ray_d, color, atten, seed, alive, pix, rays
+            live = jnp.sum(alive.astype(jnp.float32))
+        return ray_o, ray_d, color, atten, seed, alive, pix, rays, live
 
     widths = _round_widths(p)
     state = (ray_o, ray_d, color, atten, seed, alive, pix)
@@ -332,16 +335,14 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         lvl_sub = _level_sub(width)
 
         def cond(c):
-            alive_c = c[0][5]
-            b = c[1]
-            live = jnp.sum(alive_c.astype(jnp.int32))
+            b, live = c[1], c[3]
             pending = (b < cfg.max_bounces) & (live > 0)
             if next_width is None:
                 return pending
             return pending & (live > next_width)
 
         def body(c):
-            st, b, rays = c
+            st, b, rays, _ = c
             if fused and WAVE_BCAP > 1:
                 # Multi-bounce fused round: sort once, bounce up to
                 # WAVE_BCAP times in-kernel (never past the bounce cap).
@@ -349,12 +350,13 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                                   cfg.max_bounces - b)
                 st = one_round(*st, rays, cap, ordered=lvl_ordered,
                                sub=lvl_sub)
-                return st[:7], b + cap, st[7]
+                return st[:7], b + cap, st[7], st[8]
             st = one_round(*st, rays, ordered=lvl_ordered, sub=lvl_sub)
-            return st[:7], b + 1, st[7]
+            return st[:7], b + 1, st[7], st[8]
 
-        state, bounce, rays_traced = jax.lax.while_loop(
-            cond, body, (state, bounce, rays_traced))
+        live0 = jnp.sum(state[5].astype(jnp.float32))
+        state, bounce, rays_traced, _ = jax.lax.while_loop(
+            cond, body, (state, bounce, rays_traced, live0))
 
         ray_o, ray_d, color, atten, seed, alive, pix = state
         if is_last:
@@ -446,7 +448,7 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
         w = sf.shape[1]
         cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
                    else jnp.asarray(cap, jnp.int32).reshape(1))
-        sfo, sio, raysb = bounce_megakernel_packed(
+        sfo, sio, raysb, _liveb = bounce_megakernel_packed(
             scene.nodes4, scene.clusters, num4,
             sf.reshape(SF_FIELDS, -1, BLOCK_LANES),
             si.reshape(SI_FIELDS, -1, BLOCK_LANES),
