@@ -90,6 +90,7 @@ def main():
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     cap1 = jnp.ones((1,), jnp.int32)
     sky1 = jnp.ones((1,), jnp.int32)
+    bounds = scene.nodes8[0, :6]
     SUB = 16
 
     # --- 1. kernel-only A/B ---
@@ -102,7 +103,8 @@ def main():
              + salt).reshape(-1, 128),
             alive.astype(jnp.float32).reshape(-1, 128))
         outs = bounce_megakernel(
-            scene.nodes4, scene.clusters, num4, blocks, cap1, sky1, SUB,
+            scene.nodes4, scene.clusters, num4, blocks, cap1, sky1,
+            bounds, SUB,
             float(cfg.fuzz), False, t_min=float(cfg.t_min),
             t_max=float(cfg.t_max), det_eps=float(cfg.det_eps))
         return outs[6][0, :8]  # tiny readback handle
@@ -115,10 +117,10 @@ def main():
         si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32)
                         + salt,
                         jnp.arange(p, dtype=jnp.int32)], axis=0)
-        sfo, sio, raysb, liveb = bounce_megakernel_packed(
+        sfo, sio, raysb, liveb, keyb = bounce_megakernel_packed(
             scene.nodes4, scene.clusters, num4,
             sf.reshape(13, -1, 128), si.reshape(2, -1, 128), cap1, sky1,
-            SUB, float(cfg.fuzz), False, t_min=float(cfg.t_min),
+            bounds, SUB, float(cfg.fuzz), False, t_min=float(cfg.t_min),
             t_max=float(cfg.t_max), det_eps=float(cfg.det_eps))
         return sfo[6, 0, :8]
 

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-3 TPU validation + glue A/B sweep. Run from the repo root with a
+# generous budget and let it FINISH (killing a client mid-RPC wedges the
+# TPU worker — CLAUDE.md). Results append to experiments/r3_sweep.log.
+set -u
+cd "$(dirname "$0")/.."
+LOG=experiments/r3_sweep.log
+run() {
+  local tag="$1"; shift
+  echo "=== $tag $(date +%H:%M:%S)" | tee -a "$LOG"
+  env "$@" python bench.py 2>&1 | grep -v WARNING | tail -2 | tee -a "$LOG"
+}
+
+# Fresh flagship baseline with in-kernel count rows + carried keys.
+run flagship_default RAYTPU_BENCH_FRAMES=12
+# Packed-state rounds: column gather (regressed r3) vs row gather
+# (transpose + row-take + transpose) now that keys are kernel-emitted.
+run flagship_packed_col RAYTPU_BENCH_FRAMES=12 RAYTPU_WAVE=fused_packed
+run flagship_packed_row RAYTPU_BENCH_FRAMES=12 RAYTPU_WAVE=fused_packed \
+    RAYTPU_PACK_GATHER=row
+# Flat glue with one explicit transpose after the row-gather (contiguous
+# per-field unpacks instead of 12 strided column slices).
+run flagship_packT RAYTPU_BENCH_FRAMES=12 RAYTPU_GLUE=packT
+# Mode validation at round-3 final state.
+run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
+run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
+echo "sweep done $(date +%H:%M:%S)" | tee -a "$LOG"

@@ -697,7 +697,8 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 skyf = cam.sky_enabled.astype(jnp.int32).reshape(1)
                 outs = bounce_megakernel(
                     scene.nodes4, scene.clusters, num4, blocks, bcap,
-                    skyf, 8, float(cfg.fuzz), bool(cfg.emissive_emits),
+                    skyf, scene.nodes8[0, :6], 8,
+                    float(cfg.fuzz), bool(cfg.emissive_emits),
                     t_min=float(cfg.t_min), t_max=float(cfg.t_max),
                     det_eps=float(cfg.det_eps),
                     interpret=jax.default_backend() != "tpu")

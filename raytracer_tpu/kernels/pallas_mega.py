@@ -24,8 +24,9 @@ for draw with kernels/rng.py, bounded at REJECTION_ROUNDS on both sides),
 sky gradient (``:81-85``), Lambertian / metal / fuzzy metal / emissive
 (``:132-154``).
 
-State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 16 outputs
-(advanced state + per-tile rays-traced and final-live count rows). Seeds ride in an int32
+State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 17 outputs
+(advanced state + per-tile rays-traced and final-live count rows + the
+next round's pd5 sort key). Seeds ride in an int32
 block: bitcast-int f32 data through XLA f32 ops flushes denormals and
 canonicalizes NaNs on TPU (see CLAUDE.md / bvh/lbvh.py).
 
@@ -123,7 +124,7 @@ class _RowView:
 
 
 def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
-                 sky_ref, bcap_ref, rays_r, live_r,
+                 sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
                  stack_s, row_s, crow_s, sema, csem,
                  t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                  *, t_min, t_max, det_eps, fuzz_const, emissive_emits,
@@ -424,15 +425,36 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
         live_r[:] = jnp.sum(act_r[:], axis=0, keepdims=True)
 
+        # Next round's pd5 sort key (kernels/wavefront.sort_key with the
+        # dead flag at bit 30 so plain i32 argsort still packs dead rays
+        # at the tail), emitted from the advanced state: the XLA-side key
+        # fusion re-read six [w] f32 columns every round. bounds_ref:
+        # SMEM [6] f32 = scene min/max (the BVH root box).
+        dead = (act_r[:] <= 0.5).astype(jnp.int32)
+        chans = []
+        for ax, o_r in enumerate((rox_r, roy_r, roz_r)):
+            lo = bounds_ref[ax]
+            span = jnp.maximum(bounds_ref[3 + ax] - lo, 1e-6)
+            chans.append(jnp.clip((o_r[:] - lo) / span * 31.0,
+                                  0.0, 31.0).astype(jnp.int32))
+        for d_r in (rdx_r, rdy_r, rdz_r):
+            chans.append(jnp.clip((d_r[:] + 1.0) * 15.5,
+                                  0.0, 31.0).astype(jnp.int32))
+        key = dead << 30
+        for b in range(5):
+            for i, c in enumerate(chans):
+                key = key | (((c >> b) & 1) << (6 * b + i))
+        key_r[:] = key
+
 
 def make_kernel(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref,
                i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
                i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
-               sky_ref, bcap_ref,
+               sky_ref, bcap_ref, bounds_ref,
                rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
                cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
-               rays_r, live_r,
+               rays_r, live_r, key_r,
                stack_s, row_s, crow_s, sema, csem,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                *, t_min, t_max, det_eps):
@@ -442,7 +464,7 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
              i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act),
             (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
              cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r),
-            sky_ref, bcap_ref, rays_r, live_r,
+            sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
@@ -465,7 +487,8 @@ SI_FIELDS = 2
 
 def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
-               sky_ref, bcap_ref, sfo, sio, rays_r, live_r,
+               sky_ref, bcap_ref, bounds_ref, sfo, sio, rays_r, live_r,
+               key_r,
                stack_s, row_s, crow_s, sema, csem,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                *, t_min, t_max, det_eps):
@@ -477,7 +500,7 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
             sio[r] = sii[r]
         _kernel_core(
             num_ref, npack_ref, clusters_ref, ins, outs,
-            sky_ref, bcap_ref, rays_r, live_r,
+            sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
@@ -491,13 +514,15 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
                                              "t_min", "t_max", "det_eps",
                                              "interpret", "ordered"))
 def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
-                             sky, sub, fuzz, emis, t_min=1e-3, t_max=1e4,
-                             det_eps=1e-5, interpret=False, ordered=True):
+                             sky, bounds, sub, fuzz, emis, t_min=1e-3,
+                             t_max=1e4, det_eps=1e-5, interpret=False,
+                             ordered=True):
     """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
     si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
-    through). Returns (sf', si', rays[grid,128], live[grid,128]) with identical
-    semantics to ``bounce_megakernel`` (same kernel core); only the ref
-    plumbing differs."""
+    through). Returns (sf', si', rays[grid,128], live[grid,128],
+    key[rows,128]) with identical semantics to ``bounce_megakernel``
+    (same kernel core); only the ref plumbing differs. ``bounds``: [6]
+    f32 scene min/max for the emitted pd5 key."""
     rows = sf.shape[1]
     si_fields = si.shape[0]
     grid = rows // sub
@@ -507,6 +532,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                           memory_space=pltpu.VMEM)
     blockr = pl.BlockSpec((1, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
+    blockk = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(make_kernel_packed(fuzz, emis, ordered),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
@@ -514,7 +541,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                                       jnp.float32),
                  jax.ShapeDtypeStruct((si_fields, rows, LANES), jnp.int32),
                  jax.ShapeDtypeStruct((grid, LANES), jnp.float32),
-                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32))
+                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
@@ -525,26 +553,29 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   resident, resident, blockf, blocki]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_shape=out_shape,
-        out_specs=(blockf, blocki, blockr, blockr),
+        out_specs=(blockf, blocki, blockr, blockr, blockk),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(num_nodes, npack, clusters, sf, si, sky, bcap)
+    )(num_nodes, npack, clusters, sf, si, sky, bcap, bounds)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
                                              "interpret", "ordered"))
-def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
+def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
+                bounds, sub,
                 fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
                 interpret=False, ordered=True):
     """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
-    seed(i32) act(f32). Returns 16 blocks: advanced state + [grid,128]
+    seed(i32) act(f32). Returns 17 blocks: advanced state, [grid,128]
     rays-traced and final-live count rows (summed over sublanes
-    in-kernel so the callers' reductions stay tiny). t_min/t_max/det_eps come from the caller's
+    in-kernel so the callers' reductions stay tiny), and the next
+    round's pd5 sort key [rows,128] i32 (``bounds``: [6] f32 scene
+    min/max). t_min/t_max/det_eps come from the caller's
     RenderConfig so this path cannot diverge from the wave/mega paths."""
     rows = state[0].shape[0]
     grid = rows // sub
@@ -558,7 +589,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
-    out_shape = (outf,) * 12 + (outi, outf, outc, outc)
+    out_shape = (outf,) * 12 + (outi, outf, outc, outc, outi)
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
@@ -569,11 +600,11 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky, sub,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   resident, resident] + [block] * 14
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_shape=out_shape,
-        out_specs=(block,) * 14 + (cblock, cblock),
+        out_specs=(block,) * 14 + (cblock, cblock, block),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(num_nodes, npack, clusters, *state, sky, bcap)
+    )(num_nodes, npack, clusters, *state, sky, bcap, bounds)

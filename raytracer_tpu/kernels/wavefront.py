@@ -90,8 +90,14 @@ def _part1by2(v):
     return v
 
 
-def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5"):
+def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5",
+             dead_bit: int = 31):
     """u32 round key; dead rays get the top bit so they sort to the tail.
+
+    ``dead_bit=30`` matches the bounce megakernel's in-kernel key
+    emission (kernels/pallas_mega.py): every code mode fits in 30 bits,
+    and keeping bit 31 clear lets the fused paths carry keys as i32 with
+    plain ascending argsort still packing dead rays at the tail.
 
     ``pd5`` (default): 6-way bit interleave of position+direction, 5 bits
     per channel — groups rays that are close in *both* origin and
@@ -101,7 +107,7 @@ def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5"):
 
     smin/smax: per-axis scene bounds (dynamic scalars, the BVH root box).
     """
-    dead = (~alive).astype(jnp.uint32) << jnp.uint32(31)
+    dead = (~alive).astype(jnp.uint32) << jnp.uint32(dead_bit)
     if mode == "pd5":
         chans = []
         for ax in range(3):
@@ -206,6 +212,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
         num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
         skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+        bounds = scene.nodes8[0, :6]
         fused_interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
 
@@ -213,13 +220,27 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
 
-    def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays,
+    # Round keys are CARRIED: for pd5 the bounce megakernel emits the
+    # next round's key from the advanced state (i32, dead flag at bit
+    # 30), so per-round XLA glue never re-reads the six position/
+    # direction columns. Other key modes (and the split path) compute
+    # the key in XLA after each round instead.
+    kernel_key = fused and key_mode == "pd5"
+
+    def _key(ray_o, ray_d, alive):
+        if kernel_key:
+            return jax.lax.bitcast_convert_type(
+                sort_key(ray_o, ray_d, alive, smin, smax, key_mode,
+                         dead_bit=30), jnp.int32)
+        return sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+
+    def one_round(ray_o, ray_d, color, atten, seed, alive, pix, rays, key,
                   cap=None, ordered=True, sub=BOUNCE_SUBLANES):
-        """Sort -> (fused pallas trace+shade | pallas traverse -> XLA
-        shade). Returns advanced state in sorted order. ``cap``: bounce
-        iterations inside the fused kernel this round (traced scalar,
-        >= 1; None -> 1)."""
-        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+        """Sort (by the carried key) -> (fused pallas trace+shade | pallas
+        traverse -> XLA shade). Returns advanced state in sorted order
+        plus the live count and next key. ``cap``: bounce iterations
+        inside the fused kernel this round (traced scalar, >= 1;
+        None -> 1)."""
         order = jnp.argsort(key)
         glue = os.environ.get("RAYTPU_GLUE", "pack")
         if glue == "perfield":
@@ -256,6 +277,24 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             seed = ib(allpack[:, 12], jnp.uint32)
             pix = allpack[:, 13]
             alive = allpack[:, 14] > 0
+        elif glue == "packT":
+            # A/B: same row-gather, but ONE explicit transpose after it so
+            # the per-field unpacks are contiguous major-dim row slices
+            # instead of 12 strided [w,12][:,j] column reads.
+            fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
+                              + list(atten), axis=-1)       # [w, 12]
+            fpt = jnp.take(fpack, order, axis=0).T          # [12, w]
+            ipack = jnp.stack(
+                [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
+                 alive.astype(jnp.int32)], axis=-1)
+            ipt = jnp.take(ipack, order, axis=0).T          # [3, w]
+            ray_o = (fpt[0], fpt[1], fpt[2])
+            ray_d = (fpt[3], fpt[4], fpt[5])
+            color = (fpt[6], fpt[7], fpt[8])
+            atten = (fpt[9], fpt[10], fpt[11])
+            seed = jax.lax.bitcast_convert_type(ipt[0], jnp.uint32)
+            pix = ipt[1]
+            alive = ipt[2] > 0
         else:
             fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                               + list(atten), axis=-1)       # [w, 12]
@@ -284,7 +323,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                        else jnp.asarray(cap, jnp.int32).reshape(1))
             outs = bounce_megakernel(
                 scene.nodes4, scene.clusters, num4, blocks, cap_arr,
-                skyf, sub, float(cfg.fuzz),
+                skyf, bounds, sub, float(cfg.fuzz),
                 bool(cfg.emissive_emits), t_min=float(cfg.t_min),
                 t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
                 interpret=fused_interpret, ordered=ordered)
@@ -301,6 +340,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             seed = jax.lax.bitcast_convert_type(outs[12], jnp.uint32
                                                 ).reshape(w)
             alive = flat(13) > 0.5
+            key = flat(16) if kernel_key else _key(ray_o, ray_d, alive)
         else:
             rays = rays + jnp.sum(alive.astype(jnp.float32))
             res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
@@ -309,10 +349,13 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             ray_o, ray_d, color, atten, seed, alive = shade(
                 res, ray_o, ray_d, color, atten, seed, alive, sky_on, cfg)
             live = jnp.sum(alive.astype(jnp.float32))
-        return ray_o, ray_d, color, atten, seed, alive, pix, rays, live
+            key = _key(ray_o, ray_d, alive)
+        return (ray_o, ray_d, color, atten, seed, alive, pix, rays, live,
+                key)
 
     widths = _round_widths(p)
     state = (ray_o, ray_d, color, atten, seed, alive, pix)
+    key = _key(ray_o, ray_d, alive)
     for li, width in enumerate(widths):
         if handoff_width is not None and width <= handoff_width:
             # Band-tail handoff (kernels/packet.py tail merge): stop the
@@ -342,21 +385,21 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             return pending & (live > next_width)
 
         def body(c):
-            st, b, rays, _ = c
+            st, b, rays, _, k = c
             if fused and WAVE_BCAP > 1:
                 # Multi-bounce fused round: sort once, bounce up to
                 # WAVE_BCAP times in-kernel (never past the bounce cap).
                 cap = jnp.minimum(jnp.int32(WAVE_BCAP),
                                   cfg.max_bounces - b)
-                st = one_round(*st, rays, cap, ordered=lvl_ordered,
+                st = one_round(*st, rays, k, cap, ordered=lvl_ordered,
                                sub=lvl_sub)
-                return st[:7], b + cap, st[7], st[8]
-            st = one_round(*st, rays, ordered=lvl_ordered, sub=lvl_sub)
-            return st[:7], b + 1, st[7], st[8]
+                return st[:7], b + cap, st[7], st[8], st[9]
+            st = one_round(*st, rays, k, ordered=lvl_ordered, sub=lvl_sub)
+            return st[:7], b + 1, st[7], st[8], st[9]
 
         live0 = jnp.sum(state[5].astype(jnp.float32))
-        state, bounce, rays_traced, _ = jax.lax.while_loop(
-            cond, body, (state, bounce, rays_traced, live0))
+        state, bounce, rays_traced, _, key = jax.lax.while_loop(
+            cond, body, (state, bounce, rays_traced, live0, key))
 
         ray_o, ray_d, color, atten, seed, alive, pix = state
         if is_last:
@@ -368,9 +411,10 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
         # Shrink: one more sort packs live rays into the prefix (the while
         # cond guaranteed live <= next_width). The dead tail deposits and
-        # is dropped.
-        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+        # is dropped. The carried key already describes the current
+        # state, so no key recompute here.
         order = jnp.argsort(key)
+        key = jnp.take(key, order)[:next_width]
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)
         fpack = jnp.take(fpack, order, axis=0)
@@ -428,42 +472,54 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
                        if interpret is None else interpret)
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+    bounds = scene.nodes8[0, :6]
+    kernel_key = key_mode == "pd5"
 
     sf = jnp.stack(list(ray_o) + list(ray_d) + list(color) + list(atten)
                    + [alive.astype(jnp.float32)], axis=0)
     si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32), pix],
                    axis=0)
 
-    def sort_state(sf, si):
-        key = sort_key((sf[0], sf[1], sf[2]), (sf[3], sf[4], sf[5]),
-                       sf[12] > 0.5, smin, smax, key_mode)
+    def _key(sf):
+        k = sort_key((sf[0], sf[1], sf[2]), (sf[3], sf[4], sf[5]),
+                     sf[12] > 0.5, smin, smax, key_mode,
+                     dead_bit=30 if kernel_key else 31)
+        return (jax.lax.bitcast_convert_type(k, jnp.int32)
+                if kernel_key else k)
+
+    def sort_state(sf, si, key):
         order = jnp.argsort(key)
+        skey = jnp.take(key, order)
         if gather_mode == "row":
             return (jnp.take(sf.T, order, axis=0).T,
-                    jnp.take(si.T, order, axis=0).T)
-        return jnp.take(sf, order, axis=1), jnp.take(si, order, axis=1)
+                    jnp.take(si.T, order, axis=0).T, skey)
+        return (jnp.take(sf, order, axis=1),
+                jnp.take(si, order, axis=1), skey)
 
-    def one_round(sf, si, rays, cap=None):
-        sf, si = sort_state(sf, si)
+    def one_round(sf, si, rays, key, cap=None):
+        sf, si, _ = sort_state(sf, si, key)
         w = sf.shape[1]
         cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
                    else jnp.asarray(cap, jnp.int32).reshape(1))
-        sfo, sio, raysb, _liveb = bounce_megakernel_packed(
+        sfo, sio, raysb, liveb, keyb = bounce_megakernel_packed(
             scene.nodes4, scene.clusters, num4,
             sf.reshape(SF_FIELDS, -1, BLOCK_LANES),
             si.reshape(SI_FIELDS, -1, BLOCK_LANES),
-            cap_arr, skyf, BOUNCE_SUBLANES, float(cfg.fuzz),
+            cap_arr, skyf, bounds, BOUNCE_SUBLANES, float(cfg.fuzz),
             bool(cfg.emissive_emits), t_min=float(cfg.t_min),
             t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
             interpret=fused_interpret)
-        return (sfo.reshape(SF_FIELDS, w), sio.reshape(SI_FIELDS, w),
-                rays + jnp.sum(raysb))
+        sfo = sfo.reshape(SF_FIELDS, w)
+        key = keyb.reshape(w) if kernel_key else _key(sfo)
+        return (sfo, sio.reshape(SI_FIELDS, w),
+                rays + jnp.sum(raysb), jnp.sum(liveb), key)
 
     out = (jnp.zeros((p,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
     widths = _round_widths(p)
     state = (sf, si)
+    key = _key(sf)
     for li, width in enumerate(widths):
         if handoff_width is not None and width <= handoff_width:
             # Band-tail handoff (kernels/packet.py tail merge): stop the
@@ -480,24 +536,25 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
         next_width = None if is_last else widths[li + 1]
 
         def cond(c):
-            live = jnp.sum((c[0][0][12] > 0.5).astype(jnp.int32))
-            pending = (c[1] < cfg.max_bounces) & (live > 0)
+            live, b = c[3], c[1]
+            pending = (b < cfg.max_bounces) & (live > 0)
             if next_width is None:
                 return pending
             return pending & (live > next_width)
 
         def body(c):
-            (sfc, sic), b, rays = c
+            (sfc, sic), b, rays, _, k = c
             if WAVE_BCAP > 1:
                 cap = jnp.minimum(jnp.int32(WAVE_BCAP),
                                   cfg.max_bounces - b)
-                sfc, sic, rays = one_round(sfc, sic, rays, cap)
-                return (sfc, sic), b + cap, rays
-            sfc, sic, rays = one_round(sfc, sic, rays)
-            return (sfc, sic), b + 1, rays
+                sfc, sic, rays, live, k = one_round(sfc, sic, rays, k, cap)
+                return (sfc, sic), b + cap, rays, live, k
+            sfc, sic, rays, live, k = one_round(sfc, sic, rays, k)
+            return (sfc, sic), b + 1, rays, live, k
 
-        state, bounce, rays_traced = jax.lax.while_loop(
-            cond, body, (state, bounce, rays_traced))
+        live0 = jnp.sum((state[0][12] > 0.5).astype(jnp.float32))
+        state, bounce, rays_traced, _, key = jax.lax.while_loop(
+            cond, body, (state, bounce, rays_traced, live0, key))
         sf, si = state
         if is_last:
             # Everyone still aboard deposits (alive-at-cap rays carry any
@@ -509,8 +566,10 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
 
         # Shrink: one more sort packs live rays into the prefix (the
         # while cond guaranteed live <= next_width); the dead tail
-        # deposits and is dropped.
-        sf, si = sort_state(sf, si)
+        # deposits and is dropped. The carried key already describes the
+        # current state.
+        sf, si, key = sort_state(sf, si, key)
+        key = key[:next_width]
         tail_pix = si[1, next_width:]
         out = tuple(o.at[tail_pix].add(sf[6 + j, next_width:], mode="drop")
                     for j, o in enumerate(out))
@@ -553,22 +612,33 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
                        if interpret is None else interpret)
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
+    bounds = scene.nodes8[0, :6]
     cap1 = jnp.ones((1,), jnp.int32)
+    kernel_key = key_mode == "pd5"
 
     ray_o = (sf[0], sf[1], sf[2])
     ray_d = (sf[3], sf[4], sf[5])
     color = (sf[6], sf[7], sf[8])
     atten = (sf[9], sf[10], sf[11])
-    alive = sf[12] > 0.5
+    # A band can hand off at its bounce cap (budget 0): those rays'
+    # colors are final — the per-band kill rule must see them dead here.
+    alive = (sf[12] > 0.5) & (si[2] > 0)
     seed = jax.lax.bitcast_convert_type(si[0], jnp.uint32)
     pix = si[1]
     budget = si[2]
 
+    def _key(ray_o, ray_d, alive):
+        if kernel_key:
+            return jax.lax.bitcast_convert_type(
+                sort_key(ray_o, ray_d, alive, smin, smax, key_mode,
+                         dead_bit=30), jnp.int32)
+        return sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+
     def one_round(ray_o, ray_d, color, atten, seed, alive, pix, budget,
-                  rays, ordered=True, sub=BOUNCE_SUBLANES):
-        """Sort -> fused walk+shade -> budget decrement. Same glue as the
-        default engine plus the budget column in ipack."""
-        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+                  rays, key, ordered=True, sub=BOUNCE_SUBLANES):
+        """Sort (by the carried key) -> fused walk+shade -> budget
+        decrement. Same glue as the default engine plus the budget
+        column in ipack."""
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)
@@ -595,7 +665,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             entering.astype(jnp.float32).reshape(-1, BLOCK_LANES))
         outs = bounce_megakernel(
             scene.nodes4, scene.clusters, num4, blocks, cap1, skyf,
-            sub, float(cfg.fuzz), bool(cfg.emissive_emits),
+            bounds, sub, float(cfg.fuzz), bool(cfg.emissive_emits),
             t_min=float(cfg.t_min), t_max=float(cfg.t_max),
             det_eps=float(cfg.det_eps), interpret=fused_interpret,
             ordered=ordered)
@@ -608,13 +678,23 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         seed = jax.lax.bitcast_convert_type(outs[12],
                                             jnp.uint32).reshape(w)
         budget = budget - entering.astype(jnp.int32)
+        # The kernel's live count / key dead bit reflect scatter status
+        # only; rays that just exhausted their budget must die (and sort
+        # dead) here too.
         alive = (flat(13) > 0.5) & (budget > 0)
-        return ray_o, ray_d, color, atten, seed, alive, pix, budget, rays
+        live = jnp.sum(alive.astype(jnp.float32))
+        if kernel_key:
+            key = flat(16) | jnp.where(budget > 0, 0, 1 << 30)
+        else:
+            key = _key(ray_o, ray_d, alive)
+        return (ray_o, ray_d, color, atten, seed, alive, pix, budget,
+                rays, live, key)
 
     out = (jnp.zeros((out_size,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
     widths = _round_widths(p)
     state = (ray_o, ray_d, color, atten, seed, alive, pix, budget)
+    key = _key(ray_o, ray_d, alive)
     for li, width in enumerate(widths):
         is_last = li == len(widths) - 1
         next_width = None if is_last else widths[li + 1]
@@ -622,18 +702,19 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         lvl_sub = _level_sub(width)
 
         def cond(c):
-            live = jnp.sum(c[0][5].astype(jnp.int32))
+            live = c[2]
             if next_width is None:
                 return live > 0
             return live > next_width
 
         def body(c):
-            st, rays = c
-            st = one_round(*st, rays, ordered=lvl_ordered, sub=lvl_sub)
-            return st[:8], st[8]
+            st, rays, _, k = c
+            st = one_round(*st, rays, k, ordered=lvl_ordered, sub=lvl_sub)
+            return st[:8], st[8], st[9], st[10]
 
-        state, rays_traced = jax.lax.while_loop(
-            cond, body, (state, rays_traced))
+        live0 = jnp.sum(state[5].astype(jnp.float32))
+        state, rays_traced, _, key = jax.lax.while_loop(
+            cond, body, (state, rays_traced, live0, key))
         ray_o, ray_d, color, atten, seed, alive, pix, budget = state
         if is_last:
             out = tuple(o.at[pix].add(c, mode="drop")
@@ -641,9 +722,10 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             break
 
         # Shrink: sort packs live rays into the prefix; the dead tail
-        # deposits and is dropped.
-        key = sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
+        # deposits and is dropped. The carried key already describes the
+        # current state.
         order = jnp.argsort(key)
+        key = jnp.take(key, order)[:next_width]
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)
         fpack = jnp.take(fpack, order, axis=0)
