@@ -216,3 +216,43 @@ def test_sort_key_orders_dead_last(mode):
         dz_neg = np.asarray(rd[2])[live_sorted] < 0.0
         first_pos = np.argmax(dz_pos) if dz_pos.any() else len(dz_pos)
         assert not dz_neg[first_pos:].any()
+
+
+def test_kernel_emitted_key_matches_sort_key(small_scene):
+    """The bounce megakernel's 17th output (next-round pd5 key, dead flag
+    at bit 30) must equal kernels/wavefront.sort_key(dead_bit=30) on the
+    same state: a silently-wrong key never breaks parity (deposits are
+    order-independent) — it only destroys tile coherence, i.e. speed.
+    bcap=0 makes the kernel a pure state copy + key emission."""
+    from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
+    from raytracer_tpu.kernels.wavefront import sort_key
+
+    scene = small_scene
+    p = 2048
+    rng = np.random.default_rng(7)
+    ray_o = tuple(jnp.asarray(rng.uniform(-20, 20, p).astype(np.float32))
+                  for _ in range(3))
+    ray_d = tuple(jnp.asarray(rng.uniform(-1, 1, p).astype(np.float32))
+                  for _ in range(3))
+    alive = jnp.asarray(rng.uniform(size=p) < 0.7)
+    zero = jnp.zeros((p,), jnp.float32)
+    one = jnp.ones((p,), jnp.float32)
+    seed = jnp.arange(p, dtype=jnp.uint32)
+    blocks = tuple(c.reshape(-1, 128)
+                   for c in (*ray_o, *ray_d, zero, zero, zero,
+                             one, one, one)) + (
+        jax.lax.bitcast_convert_type(seed, jnp.int32).reshape(-1, 128),
+        alive.astype(jnp.float32).reshape(-1, 128))
+    num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+    bounds = scene.nodes8[0, :6]
+    outs = bounce_megakernel(
+        scene.nodes4, scene.clusters, num4, blocks,
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+        bounds, 8, 0.3, False, interpret=True)
+    got = np.asarray(outs[16]).reshape(p)
+    smin = tuple(scene.nodes8[0, ax] for ax in range(3))
+    smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
+    want = np.asarray(jax.lax.bitcast_convert_type(
+        sort_key(ray_o, ray_d, alive, smin, smax, "pd5", dead_bit=30),
+        jnp.int32))
+    np.testing.assert_array_equal(got, want)
