@@ -21,6 +21,10 @@ run flagship_packed_row RAYTPU_BENCH_FRAMES=12 RAYTPU_WAVE=fused_packed \
 # Flat glue with one explicit transpose after the row-gather (contiguous
 # per-field unpacks instead of 12 strided column slices).
 run flagship_packT RAYTPU_BENCH_FRAMES=12 RAYTPU_GLUE=packT
+# Deep-round knobs (unmeasured A/Bs from bc6fddf): wider deep tiles and
+# unordered pushes for narrow incoherent rounds.
+run flagship_deep32 RAYTPU_BENCH_FRAMES=12 RAYTPU_DEEP_SUB=32
+run flagship_ordmin RAYTPU_BENCH_FRAMES=12 RAYTPU_ORDER_MINW=49152
 # Mode validation at round-3 final state.
 run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
 run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
