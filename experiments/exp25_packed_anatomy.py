@@ -101,7 +101,8 @@ def main():
             for c in (*ray_o, *ray_d, *color, *atten)) + (
             (jax.lax.bitcast_convert_type(seed, jnp.int32)
              + salt).reshape(-1, 128),
-            alive.astype(jnp.float32).reshape(-1, 128))
+            alive.astype(jnp.float32).reshape(-1, 128),
+            jnp.full((p // 128, 128), 1 << 30, jnp.int32))
         outs = bounce_megakernel(
             scene.nodes4, scene.clusters, num4, blocks, cap1, sky1,
             bounds, SUB,

@@ -689,7 +689,8 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                     for c in (*ray_o, *ray_d, *color, *atten)) + (
                     jax.lax.bitcast_convert_type(
                         seed, jnp.int32).reshape(-1, 128),
-                    alive_s.astype(jnp.float32).reshape(-1, 128))
+                    alive_s.astype(jnp.float32).reshape(-1, 128),
+                    jnp.full((p_pad // 128, 128), 1 << 30, jnp.int32))
                 num4 = jnp.asarray(scene.num_nodes4,
                                    jnp.int32).reshape(1)
                 bcap = jnp.asarray(cfg.max_bounces - 1,
@@ -703,7 +704,7 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                     det_eps=float(cfg.det_eps),
                     interpret=jax.default_backend() != "tpu")
                 cs = tuple(outs[6 + i].reshape(p_pad) for i in range(3))
-                rays = jnp.sum(outs[14])
+                rays = jnp.sum(outs[15])
                 cx, cy, cz = (
                     jnp.zeros((p_pad,), jnp.float32)
                     .at[pix_s].add(c, mode="drop") for c in cs)

@@ -24,9 +24,9 @@ for draw with kernels/rng.py, bounded at REJECTION_ROUNDS on both sides),
 sky gradient (``:81-85``), Lambertian / metal / fuzzy metal / emissive
 (``:132-154``).
 
-State rides in 14 blocks (o3 d3 color3 atten3 seed act) -> 17 outputs
-(advanced state + per-tile rays-traced and final-live count rows + the
-next round's pd5 sort key). Seeds ride in an int32
+State rides in 15 blocks (o3 d3 color3 atten3 seed act budget) -> 18
+outputs (advanced state + per-tile rays-traced and final-live count rows
++ the next round's pd5 sort key). Seeds ride in an int32
 block: bitcast-int f32 data through XLA f32 ops flushes denormals and
 canonicalizes NaNs on TPU (see CLAUDE.md / bvh/lbvh.py).
 
@@ -124,6 +124,7 @@ class _RowView:
 
 
 def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
+                 bud_in, bud_r,
                  sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
                  stack_s, row_s, crow_s, sema, csem,
                  t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
@@ -134,6 +135,11 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
         # Copy state into the output refs; everything below mutates those.
         for src, dst in zip(ins, outs):
             dst[:] = src[:]
+        if bud_in is None:
+            # No per-ray budget wired (packed interface): never gates.
+            bud_r[:] = jnp.full_like(bud_r[:], jnp.int32(1 << 30))
+        else:
+            bud_r[:] = bud_in[:]
         rays_r[:] = jnp.zeros_like(rays_r[:])
 
         sky_on = sky_ref[0] > 0
@@ -418,8 +424,17 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             # [w] (the cond-loop slice_reduce fusions were ~5 ms/frame).
             rays_r[:] = rays_r[:] + jnp.sum(act_r[:], axis=0,
                                             keepdims=True)
+            entered = act_r[:] > 0.5
             walk()
             shade()
+            # Per-ray bounces-left budget (the cross-band tail's kill
+            # rule, kernels/wavefront.wavefront_tail): every iteration a
+            # ray enters alive costs 1; at 0 the ray dies here, so the
+            # emitted key/live/act all reflect it. Uniform-budget callers
+            # pass a huge budget and rely on bcap alone.
+            bud_r[:] = bud_r[:] - entered.astype(jnp.int32)
+            act_r[:] = jnp.where(bud_r[:] > 0, act_r[:],
+                                 jnp.zeros_like(act_r[:]))
             return b + 1
 
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
@@ -450,10 +465,10 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
 def make_kernel(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref,
                i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act,
+               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act, i_bud,
                sky_ref, bcap_ref, bounds_ref,
                rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r,
+               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r, bud_r,
                rays_r, live_r, key_r,
                stack_s, row_s, crow_s, sema, csem,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
@@ -464,6 +479,7 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
              i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act),
             (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
              cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r),
+            i_bud, bud_r,
             sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
@@ -489,7 +505,7 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
                sky_ref, bcap_ref, bounds_ref, sfo, sio, rays_r, live_r,
                key_r,
-               stack_s, row_s, crow_s, sema, csem,
+               stack_s, row_s, crow_s, sema, csem, bud_s,
                t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
                *, t_min, t_max, det_eps):
         ins = tuple(_RowView(sfi, f) for f in range(12)) + (
@@ -500,6 +516,7 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
             sio[r] = sii[r]
         _kernel_core(
             num_ref, npack_ref, clusters_ref, ins, outs,
+            None, bud_s,
             sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
@@ -546,7 +563,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((sub, LANES), jnp.int32)]
                + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8)
     return pl.pallas_call(
         kernel,
@@ -570,12 +588,14 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
                 bounds, sub,
                 fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
                 interpret=False, ordered=True):
-    """state: tuple of 14 blocks [rows,128]: o3 d3 color3 atten3
-    seed(i32) act(f32). Returns 17 blocks: advanced state, [grid,128]
-    rays-traced and final-live count rows (summed over sublanes
-    in-kernel so the callers' reductions stay tiny), and the next
-    round's pd5 sort key [rows,128] i32 (``bounds``: [6] f32 scene
-    min/max). t_min/t_max/det_eps come from the caller's
+    """state: tuple of 15 blocks [rows,128]: o3 d3 color3 atten3
+    seed(i32) act(f32) budget(i32, per-ray bounces-left — pass a huge
+    constant to gate on ``bcap`` alone). Returns 18 blocks: advanced
+    state (budget decremented per iteration a ray entered alive, act
+    zeroed at 0), [grid,128] rays-traced and final-live count rows
+    (summed over sublanes in-kernel so the callers' reductions stay
+    tiny), and the next round's pd5 sort key [rows,128] i32 (``bounds``:
+    [6] f32 scene min/max). t_min/t_max/det_eps come from the caller's
     RenderConfig so this path cannot diverge from the wave/mega paths."""
     rows = state[0].shape[0]
     grid = rows // sub
@@ -589,7 +609,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
-    out_shape = (outf,) * 12 + (outi, outf, outc, outc, outi)
+    out_shape = (outf,) * 12 + (outi, outf, outi, outc, outc, outi)
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
@@ -599,10 +619,10 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  resident, resident] + [block] * 14
+                  resident, resident] + [block] * 15
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_shape=out_shape,
-        out_specs=(block,) * 14 + (cblock, cblock, block),
+        out_specs=(block,) * 15 + (cblock, cblock, block),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

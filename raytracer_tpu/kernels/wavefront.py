@@ -64,6 +64,13 @@ MIN_WIDTH = max(1, -(-int(os.environ.get("RAYTPU_WAVE_MINW",
 # productive range, if any, is small (A/B knob).
 WAVE_BCAP = max(1, int(os.environ.get("RAYTPU_WAVE_BCAP", "1")))
 
+# Bounces per fused round in the cross-band deep-round tail
+# (wavefront_tail). Deep incoherent rounds are where re-sorting buys the
+# least (tile mean direction ~zero, union walk ~whole tree regardless)
+# while per-round sort+glue fixed costs bite hardest at narrow widths;
+# the in-kernel per-ray budget keeps >1 bit-identical.
+TAIL_BCAP = max(1, int(os.environ.get("RAYTPU_TAIL_BCAP", "1")))
+
 # Skip the kernel's near-first push-ordering network for rounds narrower
 # than this (static per level). At deep incoherent rounds the tile mean
 # direction is ~zero, so the ordering key is noise and the 19 scalar
@@ -318,7 +325,11 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                 for c in (*ray_o, *ray_d, *color, *atten)) + (
                 jax.lax.bitcast_convert_type(
                     seed, jnp.int32).reshape(-1, BLOCK_LANES),
-                alive.astype(jnp.float32).reshape(-1, BLOCK_LANES))
+                alive.astype(jnp.float32).reshape(-1, BLOCK_LANES),
+                # Uniform bounce depth per band: the traced bcap gates,
+                # the per-ray budget never does.
+                jnp.full((w // BLOCK_LANES, BLOCK_LANES), 1 << 30,
+                         jnp.int32))
             cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
                        else jnp.asarray(cap, jnp.int32).reshape(1))
             outs = bounce_megakernel(
@@ -331,8 +342,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             # Per-tile count rows from the kernel: exact for any cap (one
             # count per bounce iteration a lane was live); summing
             # [grid,128] here keeps the while-cond reduction tiny.
-            rays = rays + jnp.sum(outs[14])
-            live = jnp.sum(outs[15])
+            rays = rays + jnp.sum(outs[15])
+            live = jnp.sum(outs[16])
             ray_o = (flat(0), flat(1), flat(2))
             ray_d = (flat(3), flat(4), flat(5))
             color = (flat(6), flat(7), flat(8))
@@ -340,7 +351,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             seed = jax.lax.bitcast_convert_type(outs[12], jnp.uint32
                                                 ).reshape(w)
             alive = flat(13) > 0.5
-            key = flat(16) if kernel_key else _key(ray_o, ray_d, alive)
+            key = flat(17) if kernel_key else _key(ray_o, ray_d, alive)
         else:
             rays = rays + jnp.sum(alive.astype(jnp.float32))
             res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
@@ -635,10 +646,14 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         return sort_key(ray_o, ray_d, alive, smin, smax, key_mode)
 
     def one_round(ray_o, ray_d, color, atten, seed, alive, pix, budget,
-                  rays, key, ordered=True, sub=BOUNCE_SUBLANES):
-        """Sort (by the carried key) -> fused walk+shade -> budget
-        decrement. Same glue as the default engine plus the budget
-        column in ipack."""
+                  rays, key, cap=None, ordered=True, sub=BOUNCE_SUBLANES):
+        """Sort (by the carried key) -> fused walk+shade round(s). The
+        per-ray bounces-left budget rides INTO the kernel (15th state
+        block): the kernel decrements it per iteration a ray enters
+        alive and kills the ray at 0, so act/live/key all reflect the
+        cross-band kill rule exactly — and multi-bounce tail rounds
+        (``cap`` > 1, RAYTPU_TAIL_BCAP) stay bit-identical to 1-bounce
+        rounds."""
         order = jnp.argsort(key)
         fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
                           + list(atten), axis=-1)
@@ -662,31 +677,28 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             for c in (*ray_o, *ray_d, *color, *atten)) + (
             jax.lax.bitcast_convert_type(
                 seed, jnp.int32).reshape(-1, BLOCK_LANES),
-            entering.astype(jnp.float32).reshape(-1, BLOCK_LANES))
+            entering.astype(jnp.float32).reshape(-1, BLOCK_LANES),
+            budget.reshape(-1, BLOCK_LANES))
+        cap_arr = (cap1 if cap is None
+                   else jnp.asarray(cap, jnp.int32).reshape(1))
         outs = bounce_megakernel(
-            scene.nodes4, scene.clusters, num4, blocks, cap1, skyf,
+            scene.nodes4, scene.clusters, num4, blocks, cap_arr, skyf,
             bounds, sub, float(cfg.fuzz), bool(cfg.emissive_emits),
             t_min=float(cfg.t_min), t_max=float(cfg.t_max),
             det_eps=float(cfg.det_eps), interpret=fused_interpret,
             ordered=ordered)
         flat = lambda i: outs[i].reshape(w)
-        rays = rays + jnp.sum(outs[14])
+        rays = rays + jnp.sum(outs[15])
+        live = jnp.sum(outs[16])
         ray_o = (flat(0), flat(1), flat(2))
         ray_d = (flat(3), flat(4), flat(5))
         color = (flat(6), flat(7), flat(8))
         atten = (flat(9), flat(10), flat(11))
         seed = jax.lax.bitcast_convert_type(outs[12],
                                             jnp.uint32).reshape(w)
-        budget = budget - entering.astype(jnp.int32)
-        # The kernel's live count / key dead bit reflect scatter status
-        # only; rays that just exhausted their budget must die (and sort
-        # dead) here too.
-        alive = (flat(13) > 0.5) & (budget > 0)
-        live = jnp.sum(alive.astype(jnp.float32))
-        if kernel_key:
-            key = flat(16) | jnp.where(budget > 0, 0, 1 << 30)
-        else:
-            key = _key(ray_o, ray_d, alive)
+        alive = flat(13) > 0.5
+        budget = flat(14)
+        key = flat(17) if kernel_key else _key(ray_o, ray_d, alive)
         return (ray_o, ray_d, color, atten, seed, alive, pix, budget,
                 rays, live, key)
 
@@ -709,7 +721,9 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
 
         def body(c):
             st, rays, _, k = c
-            st = one_round(*st, rays, k, ordered=lvl_ordered, sub=lvl_sub)
+            st = one_round(*st, rays, k,
+                           cap=None if TAIL_BCAP == 1 else TAIL_BCAP,
+                           ordered=lvl_ordered, sub=lvl_sub)
             return st[:8], st[8], st[9], st[10]
 
         live0 = jnp.sum(state[5].astype(jnp.float32))

@@ -242,17 +242,45 @@ def test_kernel_emitted_key_matches_sort_key(small_scene):
                    for c in (*ray_o, *ray_d, zero, zero, zero,
                              one, one, one)) + (
         jax.lax.bitcast_convert_type(seed, jnp.int32).reshape(-1, 128),
-        alive.astype(jnp.float32).reshape(-1, 128))
+        alive.astype(jnp.float32).reshape(-1, 128),
+        jnp.full((p // 128, 128), 1 << 30, jnp.int32))
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     bounds = scene.nodes8[0, :6]
     outs = bounce_megakernel(
         scene.nodes4, scene.clusters, num4, blocks,
         jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
         bounds, 8, 0.3, False, interpret=True)
-    got = np.asarray(outs[16]).reshape(p)
+    got = np.asarray(outs[17]).reshape(p)
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     want = np.asarray(jax.lax.bitcast_convert_type(
         sort_key(ray_o, ray_d, alive, smin, smax, "pd5", dead_bit=30),
         jnp.int32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tail_bcap_matches(small_scene, monkeypatch):
+    """RAYTPU_TAIL_BCAP=3: the cross-band tail sorts once per 3 bounce
+    iterations, with the per-ray bounces-left budget riding IN-kernel
+    (15th state block) so the kill rule stays exact. Per-ray RNG streams
+    and strict closest-t make the image bit-identical to 1-bounce tail
+    rounds; the kernel's count rows keep rays_traced exact."""
+    from raytracer_tpu.engine.renderer import Renderer
+    from raytracer_tpu.kernels import wavefront
+
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    cfg = RenderConfig(width=128, height=256, max_bounces=5,
+                       kernel="packet", band_rays=16384)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=cfg.width / cfg.height)
+
+    r_ref = Renderer(cfg)
+    acc_ref, img_ref, st_ref = r_ref.render(small_scene, cam.uniforms())
+
+    monkeypatch.setattr(wavefront, "TAIL_BCAP", 3)
+    r_b3 = Renderer(cfg)
+    acc_b3, img_b3, st_b3 = r_b3.render(small_scene, cam.uniforms())
+
+    np.testing.assert_array_equal(np.asarray(img_b3), np.asarray(img_ref))
+    assert float(st_b3["rays_traced"]) == float(st_ref["rays_traced"])
