@@ -25,6 +25,9 @@ run flagship_packT RAYTPU_BENCH_FRAMES=12 RAYTPU_GLUE=packT
 # unordered pushes for narrow incoherent rounds.
 run flagship_deep32 RAYTPU_BENCH_FRAMES=12 RAYTPU_DEEP_SUB=32
 run flagship_ordmin RAYTPU_BENCH_FRAMES=12 RAYTPU_ORDER_MINW=49152
+# Multi-bounce tail rounds (in-kernel per-ray budget keeps them exact).
+run flagship_tailb2 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=2
+run flagship_tailb3 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=3
 # Mode validation at round-3 final state.
 run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
 run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
