@@ -32,3 +32,8 @@ run flagship_tailb3 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=3
 run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
 run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
 echo "sweep done $(date +%H:%M:%S)" | tee -a "$LOG"
+
+# exp27: MXU leaf intersection microbench (det-identity MT) — decides
+# whether round 4 builds the fat-leaf matmul traversal.
+echo "=== exp27 $(date +%H:%M:%S)" | tee -a "$LOG"
+python experiments/exp27_mxu_mt.py 2>&1 | grep -v WARNING | tail -20 | tee -a "$LOG"
