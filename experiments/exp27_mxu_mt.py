@@ -302,6 +302,110 @@ def det_kernel(w_ref, a_ref, cen_ref, rox, roy, roz, rdx, rdy, rdz,
     jax.lax.fori_loop(0, visits, body, 0)
 
 
+def det_wide_kernel(w_ref, a_ref, cen_ref, rox, roy, roz, rdx, rdy, rdz,
+                    t_o, nx_o, ar_o, mt_o, w_s, a_s, fbig, sem, asem,
+                    *, visits, t_tris):
+    """det32w: ONE [4T,16] @ [16, SUB*128] matmul per visit (rays of all
+    sublane rows concatenated along lanes) — amortizes per-matmul
+    overhead at the cost of ~96 row moves per visit building the rhs."""
+    shape = rox[:].shape
+    wide = SUB * LANES
+    t_o[:] = jnp.full(shape, T_MAX, jnp.float32)
+    nx_o[:] = jnp.zeros(shape, jnp.float32)
+    ar_o[:] = jnp.zeros(shape, jnp.float32)
+    mt_o[:] = jnp.zeros(shape, jnp.float32)
+    fbig[:] = jnp.zeros_like(fbig[:])
+    fbig[9] = jnp.ones((wide,), jnp.float32)
+    dx, dy, dz = rdx[:], rdy[:], rdz[:]
+    for srow in range(SUB):
+        sl = slice(srow * LANES, (srow + 1) * LANES)
+        fbig[3, sl] = dx[srow]
+        fbig[4, sl] = dy[srow]
+        fbig[5, sl] = dz[srow]
+    n_cl = w_ref.shape[0]
+
+    def body(vis, _):
+        cid = jax.lax.rem(vis, n_cl)
+        cw = pltpu.make_async_copy(w_ref.at[cid], w_s, sem)
+        cw.start()
+        ca = pltpu.make_async_copy(a_ref.at[cid], a_s, asem)
+        ca.start()
+        opx = rox[:] - cen_ref[cid, 0]
+        opy = roy[:] - cen_ref[cid, 1]
+        opz = roz[:] - cen_ref[cid, 2]
+        mox = opy * dz - opz * dy
+        moy = opz * dx - opx * dz
+        moz = opx * dy - opy * dx
+        for srow in range(SUB):
+            sl = slice(srow * LANES, (srow + 1) * LANES)
+            fbig[0, sl] = opx[srow]
+            fbig[1, sl] = opy[srow]
+            fbig[2, sl] = opz[srow]
+            fbig[6, sl] = mox[srow]
+            fbig[7, sl] = moy[srow]
+            fbig[8, sl] = moz[srow]
+        cw.wait()
+        ca.wait()
+        g = jnp.dot(w_s[:], fbig[:], preferred_element_type=jnp.float32)
+        dn = g[0:t_tris]
+        ud = g[t_tris:2 * t_tris]
+        vd = g[2 * t_tris:3 * t_tris]
+        tn = g[3 * t_tris:4 * t_tris]
+        absd = jnp.abs(dn)
+        sgn = jnp.where(dn < 0.0, 1.0, -1.0)
+        uu = ud * sgn
+        vv = vd * sgn
+        tt = tn * sgn
+        # closest in the wide layout
+        closest = jnp.concatenate([t_o[srow:srow + 1] for srow in
+                                   range(SUB)], axis=1)
+        valid = (absd >= DET_EPS) & (uu >= 0.0) & (vv >= 0.0)
+        valid &= (uu + vv <= absd)
+        valid &= (tt > T_MIN * absd) & (tt < closest * absd)
+        rec = 1.0 / jnp.where(absd > 0.0, absd, 1.0)
+        tval = tt * rec
+        score = jnp.where(valid, tval, T_MAX)
+        best = jnp.min(score, axis=0, keepdims=True)
+        hit_row = best < closest
+        ind = jnp.where((score == best) & valid,
+                        jnp.ones_like(score), jnp.zeros_like(score))
+        att = jnp.dot(a_s[:], ind, preferred_element_type=jnp.float32)
+        cnt = att[0:1]
+        inv = 1.0 / jnp.where(cnt > 0.0, cnt, 1.0)
+        nbest = jnp.where(hit_row, best, closest)
+        nxr = att[1:2] * inv
+        arr = att[4:5] * inv
+        mtr = att[7:8] * inv
+        for srow in range(SUB):
+            sl = slice(srow * LANES, (srow + 1) * LANES)
+            hr = hit_row[0, sl]
+            t_o[srow] = nbest[0, sl]
+            nx_o[srow] = jnp.where(hr, nxr[0, sl], nx_o[srow])
+            ar_o[srow] = jnp.where(hr, arr[0, sl], ar_o[srow])
+            mt_o[srow] = jnp.where(hr, mtr[0, sl], mt_o[srow])
+        return 0
+
+    jax.lax.fori_loop(0, visits, body, 0)
+
+
+def run_det_wide(W, A, C, rays, visits, t_tris, interpret):
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((SUB, LANES), jnp.float32)
+    fn = pl.pallas_call(
+        functools.partial(det_wide_kernel, visits=visits, t_tris=t_tris),
+        in_specs=[spec, spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [spec] * 6,
+        out_shape=(out,) * 4,
+        out_specs=(spec,) * 4,
+        scratch_shapes=[pltpu.VMEM((4 * t_tris, KFEAT), jnp.float32),
+                        pltpu.VMEM((8, t_tris), jnp.float32),
+                        pltpu.VMEM((KFEAT, SUB * LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret)
+    return fn(W, A, C, *rays)
+
+
 def pack_classic_clusters(v0, v1, v2, alb, mt):
     """[L, 128] rows in the production record layout (fast_types)."""
     t = v0.shape[0]
@@ -412,11 +516,17 @@ def part_b(interpret):
             jnp.asarray(W), jnp.asarray(A), jnp.asarray(C), rays,
             n_tris // t_tris, t_tris, interpret)]
         log(f"  det{t_tris} ran ({time.time() - tc0:.1f}s incl. compile)")
+    W, A, C = pack_det_clusters(v0, v1, v2, alb, mt, 32)
+    tc0 = time.time()
+    res["det32w"] = [np.asarray(x) for x in run_det_wide(
+        jnp.asarray(W), jnp.asarray(A), jnp.asarray(C), rays,
+        n_tris // 32, 32, interpret)]
+    log(f"  det32w ran ({time.time() - tc0:.1f}s incl. compile)")
 
     ref_t = res["classic8"][0]
     hit = ref_t < T_MAX
     log(f"  classic8 hits: {int(hit.sum())}/{hit.size}")
-    for name in ("det32", "det64"):
+    for name in ("det32", "det64", "det32w"):
         tt = res[name][0]
         flips = int(((tt < T_MAX) ^ hit).sum())
         both = (tt < T_MAX) & hit
@@ -463,6 +573,9 @@ def time_variants(rays, cl_rows, tris):
         Wj, Aj, Cj = jnp.asarray(W), jnp.asarray(A), jnp.asarray(C)
         bench(f"det{t_tris}", lambda rr, t=t_tris, Wj=Wj, Aj=Aj, Cj=Cj:
               run_det(Wj, Aj, Cj, rr, visits_mult * n_tris // t, t, False))
+        if t_tris == 32:
+            bench("det32w", lambda rr, Wj=Wj, Aj=Aj, Cj=Cj: run_det_wide(
+                Wj, Aj, Cj, rr, visits_mult * n_tris // 32, 32, False))
     return results
 
 
