@@ -1,0 +1,430 @@
+"""exp28: traversal statistics vs leaf size on the flagship geometry.
+
+Decides the fat-leaf question for the MXU det-MT path (exp27): at leaf
+size T the tree is ~T/8x shallower (fewer slab visits / per-visit scalar
+overheads) but each leaf visit tests T triangles (pair tests grow unless
+leaf visits shrink enough). This simulates the production tile-packet
+walk (kernels/pallas_mega.py walk(): shared SMEM stack per [16,128]
+tile, per-child vectorized slab test with per-ray closest pruning,
+near-first push ordering by child-centroid key against the tile's mean
+direction, per-ray Moller-Trumbore at leaves) in NumPy on the real
+48.9k-tri flagship scene, for primaries and Lambert-scattered bounce-1
+rays (sorted into tiles by the pd5-style key like the wavefront path).
+
+Output per (population, T): wide-node visits/tile, leaf visits/tile,
+pair tests/ray, plus the classic-vs-det VPU/MXU cost model applied to
+those counts.
+
+Pure NumPy + host builder — runs anywhere, no TPU needed.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TILE = 2048
+T_MIN = 1e-3
+T_MAX = 1e4
+DET_EPS = 1e-5
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def flagship_soup():
+    from raytracer_tpu.scene.objloader import load_obj
+    from raytracer_tpu.utils import assets
+
+    body = load_obj(assets.asset_path("FinalBaseMesh.obj"))
+    body = body * 2.0 + np.array([0, -10, 0], np.float32)
+    plane = (assets.make_ground_plane()
+             * np.array([150, 1, 150], np.float32)
+             + np.array([0, -10, 0], np.float32))
+    return np.concatenate([plane, body]).astype(np.float32)
+
+
+def build_wide(verts, leaf_size):
+    """Host BVH at `leaf_size` + 8-wide collapse; returns (wide rows
+    [R,128] f32 with metas, per-cluster (start, count), ordered tris)."""
+    from raytracer_tpu.bvh.build import build_bvh_numpy
+    from raytracer_tpu.bvh import bvh4
+    from raytracer_tpu.core import fast_types
+
+    bvh = build_bvh_numpy(verts, leaf_size=leaf_size)
+    m = bvh.num_nodes
+    leaf_mask = bvh.node_tri >= 0
+    num_leaves = int(leaf_mask.sum())
+    leaf_ids = np.empty(m, np.int32)
+    leaf_ids[leaf_mask] = np.arange(num_leaves, dtype=np.int32)
+    internal = np.nonzero(~leaf_mask)[0]
+    leaf_ids[internal] = -(internal.astype(np.int32) + 2)
+    nodes8 = np.zeros((m, 8), np.float32)
+    nodes8[:, 0:3] = bvh.node_min
+    nodes8[:, 3:6] = bvh.node_max
+    nodes8[:, 6] = bvh.node_skip.astype(np.int32).view(np.float32)
+    nodes8[:, 7] = leaf_ids.view(np.float32)
+
+    # collapse4 asserts counts within CLUSTER_SIZE; bypass the encoding
+    # (we read counts from our own table) by passing None and tracking
+    # (start, count) per cluster id here.
+    # Encode count=1 in the metas (count bits would overflow f32
+    # exactness at leaf_size > 8); real counts are tracked separately.
+    ones = np.ones(num_leaves, np.int32)
+    wide, n_wide = bvh4.collapse4(nodes8, m, width=8, cluster_counts=ones)
+    starts = bvh.node_tri[leaf_mask].astype(np.int64)
+    counts = bvh.node_ntri[leaf_mask].astype(np.int64)
+    tris = verts[bvh.order]
+    return wide, n_wide, starts, counts, tris
+
+
+def decode_meta(meta_f, leaf_size):
+    """meta float -> (is_leaf, cid, wide_child) following bvh4.leaf_meta
+    with CLUSTER_SIZE = leaf_size (count bits ignored: we track counts
+    separately)."""
+    from raytracer_tpu.core.fast_types import LEAF_CID_MASK
+
+    meta = int(meta_f)
+    if meta == 0:
+        return None
+    if meta > 0:
+        return ("int", meta - 1)
+    lid = -meta - 1
+    return ("leaf", lid & LEAF_CID_MASK)
+
+
+def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
+    """The pallas_mega walk in NumPy over one tile. Returns (closest,
+    win  [tile] i64 winner tri or -1, stats dict)."""
+    n = ox.shape[0]
+    inv = lambda d: 1.0 / d
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+    closest = np.full(n, T_MAX, np.float32)
+    win = np.full(n, -1, np.int64)
+    mdx, mdy, mdz = dx.sum(), dy.sum(), dz.sum()
+    visits = leaf_visits = pair_tests = pushes = 0
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        visits += 1
+        row = wide[nid]
+        entries = []
+        for cc in range(8):
+            b = 16 * cc
+            meta = decode_meta(row[b + 6], 0)
+            if meta is None:
+                continue
+            lo = row[b:b + 3]
+            hi = row[b + 3:b + 6]
+            l0 = (lo[0] - ox) * ivx
+            h0 = (hi[0] - ox) * ivx
+            l1 = (lo[1] - oy) * ivy
+            h1 = (hi[1] - oy) * ivy
+            l2 = (lo[2] - oz) * ivz
+            h2 = (hi[2] - oz) * ivz
+            t_en = np.maximum(np.minimum(l0, h0),
+                              np.maximum(np.minimum(l1, h1),
+                                         np.minimum(l2, h2)))
+            t_ex = np.minimum(np.maximum(l0, h0),
+                              np.minimum(np.maximum(l1, h1),
+                                         np.maximum(l2, h2)))
+            hit = (t_ex > t_en) & (t_ex > T_MIN) & (t_en < closest)
+            if not hit.any():
+                continue
+            key = ((lo[0] + hi[0]) * mdx + (lo[1] + hi[1]) * mdy
+                   + (lo[2] + hi[2]) * mdz)
+            entries.append((key, meta, hit))
+        # near-first: larger key pushed earlier -> popped later; the
+        # kernel sorts descending and pushes in that order, so the
+        # nearest (smallest key) child is on TOP. Emulate: push internals
+        # sorted by key DESCENDING; process leaves immediately.
+        for key, meta, hit in sorted(
+                [e for e in entries if e[1][0] == "int"],
+                key=lambda e: -e[0]):
+            stack.append(meta[1])
+            pushes += 1
+        for key, meta, hit in entries:
+            if meta[0] != "leaf":
+                continue
+            leaf_visits += 1
+            cid = meta[1]
+            s0, cnt = starts[cid], counts[cid]
+            pair_tests += cnt * int(hit.sum())
+            sel = np.nonzero(hit)[0]
+            tv = tris[s0:s0 + cnt]
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            o = np.stack([ox[sel], oy[sel], oz[sel]], -1)[:, None]
+            d = np.stack([dx[sel], dy[sel], dz[sel]], -1)[:, None]
+            pv = np.cross(d, e2[None])
+            det = (e1[None] * pv).sum(-1)
+            ok = np.abs(det) >= DET_EPS
+            invd = 1.0 / np.where(ok, det, 1.0)
+            s = o - v0[None]
+            u = invd * (s * pv).sum(-1)
+            q = np.cross(s, e1[None])
+            v = invd * (d * q).sum(-1)
+            tt = invd * (e2[None] * q).sum(-1)
+            ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok &= (tt > T_MIN) & (tt < closest[sel, None])
+            tt = np.where(ok, tt, T_MAX).astype(np.float32)
+            k = tt.argmin(axis=1)
+            tbest = tt[np.arange(len(sel)), k]
+            better = tbest < closest[sel]
+            closest[sel] = np.where(better, tbest, closest[sel])
+            win[sel] = np.where(better, s0 + k, win[sel])
+    stats = dict(visits=visits, leaf_visits=leaf_visits,
+                 pair_tests=pair_tests)
+    return closest, win, stats
+
+
+def sort_key(o, d, smin, smax):
+    """pd5-style 30-bit interleave (kernels/wavefront.sort_key shape)."""
+    chans = []
+    for ax in range(3):
+        span = max(smax[ax] - smin[ax], 1e-6)
+        chans.append(np.clip((o[:, ax] - smin[ax]) / span * 31, 0,
+                             31).astype(np.int64))
+    for ax in range(3):
+        chans.append(np.clip((d[:, ax] + 1) * 15.5, 0, 31).astype(np.int64))
+    key = np.zeros(o.shape[0], np.int64)
+    for b in range(5):
+        for i, c in enumerate(chans):
+            key |= ((c >> b) & 1) << (6 * b + i)
+    return key
+
+
+def main():
+    verts = flagship_soup()
+    log(f"flagship soup: {verts.shape[0]} tris")
+    rng = np.random.default_rng(3)
+
+    # primary rays from the reference camera pose
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    llc = np.asarray(cam.lower_left_corner, np.float64)
+    horiz = np.asarray(cam.horizontal, np.float64)
+    vert = np.asarray(cam.vertical, np.float64)
+    orig = np.asarray(cam.origin, np.float64)
+    d = (llc + u[:, None] * horiz + v[:, None] * vert - orig)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(orig.astype(np.float32), d.shape).copy()
+    pick = rng.choice(w * h, 4 * TILE, replace=False)
+    o_p, d_p = o[pick], d[pick]
+
+    smin, smax = verts.reshape(-1, 3).min(0), verts.reshape(-1, 3).max(0)
+
+    results = {}
+    trees = {}
+    for T in (8, 32, 64):
+        t0 = time.time()
+        trees[T] = build_wide(verts, T)
+        wide, n_wide, starts, counts, tris = trees[T]
+        log(f"T={T}: wide nodes {n_wide}, clusters {len(starts)}, "
+            f"mean fill {counts.mean():.1f}/{T} "
+            f"(built {time.time() - t0:.1f}s)")
+
+    # bounce-1 rays via the T=8 tree's primary hits
+    wide, n_wide, starts, counts, tris = trees[8]
+    hits_o, hits_d = [], []
+    for ti in range(4):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        closest, winv, _ = walk_tile(wide, o_p[sl, 0], o_p[sl, 1],
+                                     o_p[sl, 2], d_p[sl, 0], d_p[sl, 1],
+                                     d_p[sl, 2], starts, counts, tris)
+        hit = winv >= 0
+        hp = o_p[sl][hit] + closest[hit, None] * d_p[sl][hit]
+        tv = tris[winv[hit]]
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        dd = d_p[sl][hit]
+        n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+        sph = rng.normal(size=n.shape)
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        nd = n + sph
+        nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True), 1e-30)
+        hits_o.append(hp)
+        hits_d.append(nd.astype(np.float32))
+    o_b = np.concatenate(hits_o)
+    d_b = np.concatenate(hits_d)
+    log(f"bounce-1 rays: {o_b.shape[0]}")
+    # sorted into tiles like the wavefront path
+    kb = sort_key(o_b, d_b, smin, smax)
+    sb = np.argsort(kb, kind="stable")
+    o_b, d_b = o_b[sb], d_b[sb]
+
+    for T in (8, 32, 64):
+        wide, n_wide, starts, counts, tris = trees[T]
+        for pop, (oo, dd) in (("primary", (o_p, d_p)),
+                              ("bounce1", (o_b, d_b))):
+            agg = dict(visits=0, leaf_visits=0, pair_tests=0)
+            n_tiles = min(4, oo.shape[0] // TILE)
+            for ti in range(n_tiles):
+                sl = slice(ti * TILE, (ti + 1) * TILE)
+                _, _, st = walk_tile(wide, oo[sl, 0], oo[sl, 1],
+                                     oo[sl, 2], dd[sl, 0], dd[sl, 1],
+                                     dd[sl, 2], starts, counts, tris)
+                for k in agg:
+                    agg[k] += st[k]
+            for k in agg:
+                agg[k] /= n_tiles
+            results[(pop, T)] = agg
+            log(f"T={T:2d} {pop:8s}: visits/tile {agg['visits']:7.1f}  "
+                f"leaf visits/tile {agg['leaf_visits']:7.1f}  "
+                f"pair tests/ray {agg['pair_tests'] / TILE:7.1f}")
+
+    # cost model: per-visit slab ~8x22 vector ops + per-visit fixed ~F;
+    # classic pair ~71 ops/8-lane-tri; det pair ~matmul + ~20/T ops.
+    log("ratios vs T=8 (visits, leaf visits, pair tests):")
+    for pop in ("primary", "bounce1"):
+        base = results[(pop, 8)]
+        for T in (32, 64):
+            r = results[(pop, T)]
+            log(f"  {pop} T={T}: visits x{r['visits'] / base['visits']:.2f}"
+                f"  leaves x{r['leaf_visits'] / base['leaf_visits']:.2f}"
+                f"  pairs x{r['pair_tests'] / base['pair_tests']:.2f}")
+
+
+def key_sweep():
+    """Part 2: sort-KEY quality — bounce-round tile-union size under
+    different keys. The kernel emits the next round's key from the
+    advanced state (pallas_mega.py), so any key computable there (incl.
+    the winning leaf cluster id) is production-free; the union visit
+    count it produces directly scales the bounce megakernel's time."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(5)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    llc = np.asarray(cam.lower_left_corner, np.float64)
+    horiz = np.asarray(cam.horizontal, np.float64)
+    vert = np.asarray(cam.vertical, np.float64)
+    orig = np.asarray(cam.origin, np.float64)
+    d = (llc + u[:, None] * horiz + v[:, None] * vert - orig)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(orig.astype(np.float32), d.shape).copy()
+    n_pool = 24 * TILE  # a ~49k-ray pool: tile locality grows with pool
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_p, d_p = o[pick], d[pick]
+
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+    smin = verts.reshape(-1, 3).min(0)
+    smax = verts.reshape(-1, 3).max(0)
+
+    t0 = time.time()
+    hits_o, hits_d, hits_cid = [], [], []
+    for ti in range(n_pool // TILE):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        closest, winv, _ = walk_tile(wide, o_p[sl, 0], o_p[sl, 1],
+                                     o_p[sl, 2], d_p[sl, 0], d_p[sl, 1],
+                                     d_p[sl, 2], starts, counts, tris)
+        hit = winv >= 0
+        hp = o_p[sl][hit] + closest[hit, None] * d_p[sl][hit]
+        tv = tris[winv[hit]]
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        dd = d_p[sl][hit]
+        n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+        sph = rng.normal(size=n.shape)
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        nd = (n + sph)
+        nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True), 1e-30)
+        hits_o.append(hp)
+        hits_d.append(nd.astype(np.float32))
+        # winning cluster id: flat tri index // CLUSTER_SIZE would be
+        # wrong for underfull leaves — map via starts
+        cid = np.searchsorted(starts, winv[hit], side="right") - 1
+        hits_cid.append(cid.astype(np.int64))
+    o_b = np.concatenate(hits_o)
+    d_b = np.concatenate(hits_d)
+    cid_b = np.concatenate(hits_cid)
+    log(f"key sweep pool: {o_b.shape[0]} bounce-1 rays "
+        f"(primaries walked in {time.time() - t0:.0f}s)")
+
+    def morton(chans, bits):
+        key = np.zeros(chans[0].shape[0], np.int64)
+        for b in range(bits):
+            for i, c in enumerate(chans):
+                key |= ((c >> b) & 1) << (len(chans) * b + i)
+        return key
+
+    def quant(x, lo, hi, bits):
+        span = np.maximum(hi - lo, 1e-6)
+        return np.clip((x - lo) / span * (2 ** bits - 1), 0,
+                       2 ** bits - 1).astype(np.int64)
+
+    # hit-region bbox: where bounce origins actually live
+    blo, bhi = o_b.min(0), o_b.max(0)
+
+    keys = {}
+    oc = [quant(o_b[:, ax], smin[ax], smax[ax], 5) for ax in range(3)]
+    dc = [quant(d_b[:, ax], -1.0, 1.0, 5) for ax in range(3)]
+    keys["pd5 (prod)"] = morton(oc + dc, 5)
+    oct3 = ((d_b[:, 0] > 0).astype(np.int64)
+            | ((d_b[:, 1] > 0).astype(np.int64) << 1)
+            | ((d_b[:, 2] > 0).astype(np.int64) << 2))
+    om = [quant(o_b[:, ax], smin[ax], smax[ax], 9) for ax in range(3)]
+    keys["oct_morton"] = (oct3 << 27) | morton(om, 9)
+    ob = [quant(o_b[:, ax], blo[ax], bhi[ax], 8) for ax in range(3)]
+    keys["pd_hitbox8+d3"] = morton(ob + [quant(d_b[:, ax], -1, 1, 8)
+                                         for ax in range(3)], 8)[:]
+    keys["o_hitbox9<<3|oct"] = (morton(ob, 8) << 3) | oct3
+    # position-major with the STATIC scene bbox (already a kernel input):
+    # if ~equal to the hitbox variant, production needs no dynamic bbox
+    os9 = [quant(o_b[:, ax], smin[ax], smax[ax], 9) for ax in range(3)]
+    keys["o_scene9<<3|oct"] = (morton(os9, 9) << 3) | oct3
+    os7 = [quant(o_b[:, ax], smin[ax], smax[ax], 7) for ax in range(3)]
+    keys["o_scene7<<3|oct"] = (morton(os7, 7) << 3) | oct3
+    os10 = [quant(o_b[:, ax], smin[ax], smax[ax], 10) for ax in range(3)]
+    keys["pos10 (no dir)"] = morton(os10, 10)
+    keys["cid<<3|oct"] = (cid_b << 3) | oct3
+    keys["cid<<6|dmorton2"] = (cid_b << 6) | morton(
+        [quant(d_b[:, ax], -1, 1, 2) for ax in range(3)], 2)
+    keys["oct<<k|cid"] = (oct3 << 20) | cid_b
+    # cluster-morton: morton of the CLUSTER CENTROID (coarser than origin
+    # but exactly kernel-emittable), then direction bits
+    ccent = np.stack([tris[starts[c]:starts[c] + counts[c]].mean((0, 1))
+                      for c in range(len(starts))])
+    oc2 = [quant(ccent[cid_b, ax], smin[ax], smax[ax], 5)
+           for ax in range(3)]
+    keys["ccent5+d5"] = morton(oc2 + dc, 5)
+
+    n_tiles = o_b.shape[0] // TILE
+    log(f"walking {n_tiles} tiles per key ...")
+    for name, key in keys.items():
+        order = np.argsort(key, kind="stable")
+        oo, dd = o_b[order], d_b[order]
+        agg = dict(visits=0, leaf_visits=0, pair_tests=0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            _, _, st = walk_tile(wide, oo[sl, 0], oo[sl, 1], oo[sl, 2],
+                                 dd[sl, 0], dd[sl, 1], dd[sl, 2],
+                                 starts, counts, tris)
+            for k in agg:
+                agg[k] += st[k]
+        log(f"  {name:18s}: visits/tile {agg['visits'] / n_tiles:7.1f}  "
+            f"leaf/tile {agg['leaf_visits'] / n_tiles:7.1f}  "
+            f"pairs/ray {agg['pair_tests'] / n_tiles / TILE:6.1f}")
+
+
+if __name__ == "__main__":
+    if os.environ.get("EXP28_PART", "1") == "2":
+        key_sweep()
+    else:
+        main()

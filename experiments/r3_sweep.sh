@@ -28,6 +28,10 @@ run flagship_ordmin RAYTPU_BENCH_FRAMES=12 RAYTPU_ORDER_MINW=49152
 # Multi-bounce tail rounds (in-kernel per-ray budget keeps them exact).
 run flagship_tailb2 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=2
 run flagship_tailb3 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=3
+# Sort-key quality (exp28: bounce-1 tile unions x0.68-0.75 visits vs
+# pd5; both kernel-emitted, so zero glue cost).
+run flagship_om9 RAYTPU_BENCH_FRAMES=12 RAYTPU_SORT_KEY=om9
+run flagship_cid RAYTPU_BENCH_FRAMES=12 RAYTPU_SORT_KEY=cid
 # Mode validation at round-3 final state.
 run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
 run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p

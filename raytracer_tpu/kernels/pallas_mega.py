@@ -128,8 +128,9 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                  sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
                  stack_s, row_s, crow_s, sema, csem,
                  t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+                 tcid_s,
                  *, t_min, t_max, det_eps, fuzz_const, emissive_emits,
-                 ordered=True):
+                 ordered=True, key_mode="pd5"):
         (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
          cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r) = outs
         # Copy state into the output refs; everything below mutates those.
@@ -155,6 +156,8 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             zero = jnp.zeros(shape, jnp.float32)
             for r in (nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s):
                 r[:] = zero
+            if key_mode == "cid":
+                tcid_s[:] = jnp.zeros(shape, jnp.int32)
 
             if ordered:
                 mdx = jnp.sum(jnp.where(active, rdx, 0.0))
@@ -250,6 +253,11 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                     nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
                     tar, tag, tab = tar_s[:], tag_s[:], tab_s[:]
                     tmt = tmt_s[:]
+                    if key_mode == "cid":
+                        # winner cluster id, for the emitted sort key
+                        tci = tcid_s[:]
+                        cid_i = (-meta_c[cc] - jnp.int32(1)) \
+                            & jnp.int32(LEAF_CID_MASK)
                     for k in range(lo_k, hi_k):
                         b = k * TRI_STRIDE
                         s = (lambda j, b=b, cc=cc:
@@ -290,10 +298,14 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                         tag = jnp.where(ok, s(10), tag)
                         tab = jnp.where(ok, s(11), tab)
                         tmt = jnp.where(ok, s(12), tmt)
+                        if key_mode == "cid":
+                            tci = jnp.where(ok, cid_i, tci)
                     t_s[:] = cl
                     nx_s[:], ny_s[:], nz_s[:] = nx, ny, nz
                     tar_s[:], tag_s[:], tab_s[:] = tar, tag, tab
                     tmt_s[:] = tmt
+                    if key_mode == "cid":
+                        tcid_s[:] = tci
 
                 for group in range(0, WIDTH, 4):
                     for cc in range(group, group + 4):
@@ -440,29 +452,59 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
         live_r[:] = jnp.sum(act_r[:], axis=0, keepdims=True)
 
-        # Next round's pd5 sort key (kernels/wavefront.sort_key with the
+        # Next round's sort key (kernels/wavefront.sort_key with the
         # dead flag at bit 30 so plain i32 argsort still packs dead rays
         # at the tail), emitted from the advanced state: the XLA-side key
         # fusion re-read six [w] f32 columns every round. bounds_ref:
         # SMEM [6] f32 = scene min/max (the BVH root box).
         dead = (act_r[:] <= 0.5).astype(jnp.int32)
-        chans = []
-        for ax, o_r in enumerate((rox_r, roy_r, roz_r)):
-            lo = bounds_ref[ax]
-            span = jnp.maximum(bounds_ref[3 + ax] - lo, 1e-6)
-            chans.append(jnp.clip((o_r[:] - lo) / span * 31.0,
-                                  0.0, 31.0).astype(jnp.int32))
-        for d_r in (rdx_r, rdy_r, rdz_r):
-            chans.append(jnp.clip((d_r[:] + 1.0) * 15.5,
-                                  0.0, 31.0).astype(jnp.int32))
-        key = dead << 30
-        for b in range(5):
-            for i, c in enumerate(chans):
-                key = key | (((c >> b) & 1) << (6 * b + i))
+        if key_mode == "pd5":
+            chans = []
+            for ax, o_r in enumerate((rox_r, roy_r, roz_r)):
+                lo = bounds_ref[ax]
+                span = jnp.maximum(bounds_ref[3 + ax] - lo, 1e-6)
+                chans.append(jnp.clip((o_r[:] - lo) / span * 31.0,
+                                      0.0, 31.0).astype(jnp.int32))
+            for d_r in (rdx_r, rdy_r, rdz_r):
+                chans.append(jnp.clip((d_r[:] + 1.0) * 15.5,
+                                      0.0, 31.0).astype(jnp.int32))
+            key = dead << 30
+            for b in range(5):
+                for i, c in enumerate(chans):
+                    key = key | (((c >> b) & 1) << (6 * b + i))
+        else:
+            # position-major keys (exp28 key sweep: bounce-1 tile unions
+            # x0.68-0.75 visits vs pd5): high bits = where the ray
+            # starts, low 3 bits = direction octant.
+            octant = ((rdx_r[:] > 0.0).astype(jnp.int32)
+                      | ((rdy_r[:] > 0.0).astype(jnp.int32) << 1)
+                      | ((rdz_r[:] > 0.0).astype(jnp.int32) << 2))
+            if key_mode == "cid":
+                # winner cluster id of the LAST walk: rays leaving the
+                # same leaf share (almost all of) their next walk.
+                key = (dead << 30) | (tcid_s[:] << 3) | octant
+            else:  # om9
+                morton = jnp.zeros_like(dead)
+                for ax, o_r in enumerate((rox_r, roy_r, roz_r)):
+                    lo = bounds_ref[ax]
+                    span = jnp.maximum(bounds_ref[3 + ax] - lo, 1e-6)
+                    q = jnp.clip((o_r[:] - lo) / span * 511.0,
+                                 0.0, 511.0).astype(jnp.int32)
+                    # _part1by2 in i32 (wavefront._part1by2 bit-equal:
+                    # all intermediates < 2^31, masks keep sign clear)
+                    q = q & jnp.int32(0x3FF)
+                    q = (q | (q << 16)) & jnp.int32(0x030000FF)
+                    q = (q | (q << 8)) & jnp.int32(0x0300F00F)
+                    q = (q | (q << 4)) & jnp.int32(0x030C30C3)
+                    q = (q | (q << 2)) & jnp.int32(0x09249249)
+                    morton = morton | (q << ax)
+                morton = morton & jnp.int32((1 << 27) - 1)
+                key = (dead << 30) | (morton << 3) | octant
         key_r[:] = key
 
 
-def make_kernel(fuzz_const, emissive_emits, ordered=True):
+def make_kernel(fuzz_const, emissive_emits, ordered=True,
+                key_mode="pd5"):
     def kernel(num_ref, npack_ref, clusters_ref,
                i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
                i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act, i_bud,
@@ -471,7 +513,7 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
                cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r, bud_r,
                rays_r, live_r, key_r,
                stack_s, row_s, crow_s, sema, csem,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
                *, t_min, t_max, det_eps):
         _kernel_core(
             num_ref, npack_ref, clusters_ref,
@@ -482,10 +524,10 @@ def make_kernel(fuzz_const, emissive_emits, ordered=True):
             i_bud, bud_r,
             sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
-            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
             fuzz_const=fuzz_const, emissive_emits=emissive_emits,
-            ordered=ordered)
+            ordered=ordered, key_mode=key_mode)
 
     return kernel
 
@@ -501,12 +543,13 @@ SF_FIELDS = 13
 SI_FIELDS = 2
 
 
-def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
+def make_kernel_packed(fuzz_const, emissive_emits, ordered=True,
+                       key_mode="pd5"):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
                sky_ref, bcap_ref, bounds_ref, sfo, sio, rays_r, live_r,
                key_r,
                stack_s, row_s, crow_s, sema, csem, bud_s,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
                *, t_min, t_max, det_eps):
         ins = tuple(_RowView(sfi, f) for f in range(12)) + (
             _RowView(sii, 0), _RowView(sfi, 12))
@@ -519,21 +562,22 @@ def make_kernel_packed(fuzz_const, emissive_emits, ordered=True):
             None, bud_s,
             sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
-            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
             t_min=t_min, t_max=t_max, det_eps=det_eps,
             fuzz_const=fuzz_const, emissive_emits=emissive_emits,
-            ordered=ordered)
+            ordered=ordered, key_mode=key_mode)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
-                                             "interpret", "ordered"))
+                                             "interpret", "ordered",
+                                             "key_mode"))
 def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                              sky, bounds, sub, fuzz, emis, t_min=1e-3,
                              t_max=1e4, det_eps=1e-5, interpret=False,
-                             ordered=True):
+                             ordered=True, key_mode="pd5"):
     """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
     si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
     through). Returns (sf', si', rays[grid,128], live[grid,128],
@@ -552,7 +596,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     blockk = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel_packed(fuzz, emis, ordered),
+    kernel = functools.partial(make_kernel_packed(fuzz, emis, ordered,
+                                                  key_mode),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
     out_shape = (jax.ShapeDtypeStruct((SF_FIELDS, rows, LANES),
                                       jnp.float32),
@@ -565,7 +610,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                 pltpu.SMEM((4, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,)),
                 pltpu.VMEM((sub, LANES), jnp.int32)]
-               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8)
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
+               + [pltpu.VMEM((sub, LANES), jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -583,11 +629,12 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
-                                             "interpret", "ordered"))
+                                             "interpret", "ordered",
+                                             "key_mode"))
 def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
                 bounds, sub,
                 fuzz, emis, t_min=1e-3, t_max=1e4, det_eps=1e-5,
-                interpret=False, ordered=True):
+                interpret=False, ordered=True, key_mode="pd5"):
     """state: tuple of 15 blocks [rows,128]: o3 d3 color3 atten3
     seed(i32) act(f32) budget(i32, per-ray bounces-left — pass a huge
     constant to gate on ``bcap`` alone). Returns 18 blocks: advanced
@@ -604,7 +651,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
     cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel(fuzz, emis, ordered),
+    kernel = functools.partial(make_kernel(fuzz, emis, ordered, key_mode),
                                t_min=t_min, t_max=t_max, det_eps=det_eps)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -614,7 +661,8 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
                 pltpu.SMEM((128,), jnp.float32),
                 pltpu.SMEM((4, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
-               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8)
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
+               + [pltpu.VMEM((sub, LANES), jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid=(grid,),

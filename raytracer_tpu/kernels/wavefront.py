@@ -134,6 +134,12 @@ def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5",
     # Candidate for deep bounces, where directions are near-uniform and
     # pd5's interleaved direction bits fragment spatial tile coherence.
     # oct_morton: octant(3) | morton 9 bits/axis (27).
+    # om9 (and the XLA-side round-0/fallback form of "cid"):
+    # POSITION-MAJOR — morton9(origin) << 3 | direction octant. exp28 key
+    # sweep on flagship bounce-1 tiles: x0.75 union visits / x0.65 leaf
+    # visits vs pd5 (cid, the kernel-emitted winner-cluster variant,
+    # reaches x0.68 / x0.55). Must stay bit-equal to the in-kernel
+    # emission (kernels/pallas_mega.py).
     morton = jnp.uint32(0)
     bits = 10 if mode == "pos" else 9
     q_max = float((1 << bits) - 1)
@@ -148,6 +154,8 @@ def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5",
               | ((ray_d[1] > 0).astype(jnp.uint32) << 1)
               | ((ray_d[2] > 0).astype(jnp.uint32) << 2))
     morton = morton & jnp.uint32((1 << 27) - 1)
+    if mode in ("om9", "cid"):
+        return dead | (morton << jnp.uint32(3)) | octant
     return dead | (octant << jnp.uint32(28)) | morton
 
 
@@ -227,12 +235,12 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
 
-    # Round keys are CARRIED: for pd5 the bounce megakernel emits the
-    # next round's key from the advanced state (i32, dead flag at bit
+    # Round keys are CARRIED: for pd5/om9/cid the bounce megakernel emits
+    # the next round's key from the advanced state (i32, dead flag at bit
     # 30), so per-round XLA glue never re-reads the six position/
     # direction columns. Other key modes (and the split path) compute
     # the key in XLA after each round instead.
-    kernel_key = fused and key_mode == "pd5"
+    kernel_key = fused and key_mode in ("pd5", "om9", "cid")
 
     def _key(ray_o, ray_d, alive):
         if kernel_key:
@@ -337,7 +345,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                 skyf, bounds, sub, float(cfg.fuzz),
                 bool(cfg.emissive_emits), t_min=float(cfg.t_min),
                 t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
-                interpret=fused_interpret, ordered=ordered)
+                interpret=fused_interpret, ordered=ordered,
+                key_mode=key_mode if kernel_key else "pd5")
             flat = lambda i: outs[i].reshape(w)
             # Per-tile count rows from the kernel: exact for any cap (one
             # count per bounce iteration a lane was live); summing
@@ -484,7 +493,7 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
     skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
     bounds = scene.nodes8[0, :6]
-    kernel_key = key_mode == "pd5"
+    kernel_key = key_mode in ("pd5", "om9", "cid")
 
     sf = jnp.stack(list(ray_o) + list(ray_d) + list(color) + list(atten)
                    + [alive.astype(jnp.float32)], axis=0)
@@ -519,7 +528,8 @@ def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
             cap_arr, skyf, bounds, BOUNCE_SUBLANES, float(cfg.fuzz),
             bool(cfg.emissive_emits), t_min=float(cfg.t_min),
             t_max=float(cfg.t_max), det_eps=float(cfg.det_eps),
-            interpret=fused_interpret)
+            interpret=fused_interpret,
+            key_mode=key_mode if kernel_key else "pd5")
         sfo = sfo.reshape(SF_FIELDS, w)
         key = keyb.reshape(w) if kernel_key else _key(sfo)
         return (sfo, sio.reshape(SI_FIELDS, w),
@@ -625,7 +635,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
     bounds = scene.nodes8[0, :6]
     cap1 = jnp.ones((1,), jnp.int32)
-    kernel_key = key_mode == "pd5"
+    kernel_key = key_mode in ("pd5", "om9", "cid")
 
     ray_o = (sf[0], sf[1], sf[2])
     ray_d = (sf[3], sf[4], sf[5])
@@ -686,7 +696,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             bounds, sub, float(cfg.fuzz), bool(cfg.emissive_emits),
             t_min=float(cfg.t_min), t_max=float(cfg.t_max),
             det_eps=float(cfg.det_eps), interpret=fused_interpret,
-            ordered=ordered)
+            ordered=ordered, key_mode=key_mode if kernel_key else "pd5")
         flat = lambda i: outs[i].reshape(w)
         rays = rays + jnp.sum(outs[15])
         live = jnp.sum(outs[16])

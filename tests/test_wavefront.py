@@ -173,7 +173,7 @@ def test_tail_merge_matches_unmerged(small_scene, monkeypatch):
     assert float(st_tm["rays_traced"]) == float(st_ref["rays_traced"])
 
 
-@pytest.mark.parametrize("mode", ["pd5", "oct_morton", "pos"])
+@pytest.mark.parametrize("mode", ["pd5", "oct_morton", "pos", "om9"])
 def test_sort_key_orders_dead_last(mode):
     from raytracer_tpu.kernels.wavefront import sort_key
 
@@ -210,6 +210,13 @@ def test_sort_key_orders_dead_last(mode):
                                    (jnp.float32(-5),) * 3,
                                    (jnp.float32(5),) * 3, mode))
         np.testing.assert_array_equal(key2, key)
+    elif mode == "om9":
+        # position-major: direction only sets the low 3 octant bits
+        key2 = np.asarray(sort_key(ro, tuple(-d for d in rd), alive,
+                                   (jnp.float32(-5),) * 3,
+                                   (jnp.float32(5),) * 3, mode))
+        assert (np.abs(key2.astype(np.int64) - key.astype(np.int64))
+                < 8).all()
     else:
         # top interleave bit = direction-z top bit: dz>0 after dz<0
         dz_pos = np.asarray(rd[2])[live_sorted] > 0.032  # q=16 boundary
@@ -218,12 +225,15 @@ def test_sort_key_orders_dead_last(mode):
         assert not dz_neg[first_pos:].any()
 
 
-def test_kernel_emitted_key_matches_sort_key(small_scene):
-    """The bounce megakernel's 17th output (next-round pd5 key, dead flag
+@pytest.mark.parametrize("mode", ["pd5", "om9"])
+def test_kernel_emitted_key_matches_sort_key(small_scene, mode):
+    """The bounce megakernel's 17th output (next-round sort key, dead flag
     at bit 30) must equal kernels/wavefront.sort_key(dead_bit=30) on the
     same state: a silently-wrong key never breaks parity (deposits are
     order-independent) — it only destroys tile coherence, i.e. speed.
-    bcap=0 makes the kernel a pure state copy + key emission."""
+    bcap=0 makes the kernel a pure state copy + key emission. (The "cid"
+    key needs a walk to define the winner cluster and is covered by
+    test_key_mode_image_invariance + test_cid_key_structure.)"""
     from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
     from raytracer_tpu.kernels.wavefront import sort_key
 
@@ -249,14 +259,82 @@ def test_kernel_emitted_key_matches_sort_key(small_scene):
     outs = bounce_megakernel(
         scene.nodes4, scene.clusters, num4, blocks,
         jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
-        bounds, 8, 0.3, False, interpret=True)
+        bounds, 8, 0.3, False, interpret=True, key_mode=mode)
     got = np.asarray(outs[17]).reshape(p)
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
     want = np.asarray(jax.lax.bitcast_convert_type(
-        sort_key(ray_o, ray_d, alive, smin, smax, "pd5", dead_bit=30),
+        sort_key(ray_o, ray_d, alive, smin, smax, mode, dead_bit=30),
         jnp.int32))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["om9", "cid"])
+def test_key_mode_image_invariance(small_scene, monkeypatch, mode):
+    """Sort keys only permute rays across tiles: per-(ray, tri)
+    intersections are tile-independent, RNG streams ride with the ray,
+    and every pixel receives exactly one deposit — so the image and the
+    rays-traced count must be IDENTICAL across key modes. (A wrong key
+    can only cost speed; this pins that it costs nothing else.)"""
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128)
+    monkeypatch.setenv("RAYTPU_SORT_KEY", mode)
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128)
+    np.testing.assert_array_equal(got, ref)
+    assert rays_got == rays_ref
+
+
+def test_cid_key_structure(small_scene):
+    """One fused round with key_mode="cid": live rays' emitted keys carry
+    their direction octant in the low 3 bits and a winner cluster id
+    below bit 30; dead rays carry bit 30."""
+    from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
+
+    scene = small_scene
+    p = 2048
+    rng = np.random.default_rng(11)
+    # rays aimed at the scene so most hit and scatter
+    ray_o = (jnp.full((p,), -10.0), jnp.full((p,), 6.0),
+             jnp.full((p,), 30.0))
+    tgt = rng.uniform(-8, 8, (p, 3)).astype(np.float32)
+    tgt[:, 1] = rng.uniform(-10, -5, p)
+    d = tgt - np.array([-10.0, 6.0, 30.0], np.float32)
+    d[::4, 1] = np.abs(d[::4, 1]) + 50.0  # every 4th ray misses into sky
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray_d = tuple(jnp.asarray(d[:, ax]) for ax in range(3))
+    zero = jnp.zeros((p,), jnp.float32)
+    one = jnp.ones((p,), jnp.float32)
+    seed = jnp.arange(p, dtype=jnp.uint32)
+    blocks = tuple(c.reshape(-1, 128)
+                   for c in (*ray_o, *ray_d, zero, zero, zero,
+                             one, one, one)) + (
+        jax.lax.bitcast_convert_type(seed, jnp.int32).reshape(-1, 128),
+        one.reshape(-1, 128),
+        jnp.full((p // 128, 128), 1 << 30, jnp.int32))
+    num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
+    bounds = scene.nodes8[0, :6]
+    outs = bounce_megakernel(
+        scene.nodes4, scene.clusters, num4, blocks,
+        jnp.ones((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+        bounds, 8, 0.3, False, interpret=True, key_mode="cid")
+    key = np.asarray(outs[17]).reshape(p)
+    alive = np.asarray(outs[13]).reshape(p) > 0.5
+    assert alive.any() and (~alive).any()
+    # dead rays: bit 30; live rays: no bit 30
+    assert (key[~alive] >> 30 == 1).all()
+    assert (key[alive] >> 30 == 0).all()
+    # low 3 bits = octant of the ADVANCED direction
+    nd = np.stack([np.asarray(outs[3 + ax]).reshape(p) for ax in
+                   range(3)], -1)
+    octant = ((nd[:, 0] > 0).astype(np.int64)
+              | ((nd[:, 1] > 0).astype(np.int64) << 1)
+              | ((nd[:, 2] > 0).astype(np.int64) << 2))
+    np.testing.assert_array_equal(key[alive] & 7, octant[alive])
+    # cluster ids within the scene's cluster table
+    n_clusters = scene.clusters.shape[0]
+    cids = (key[alive] >> 3) & ((1 << 20) - 1)
+    assert (cids < n_clusters).all()
 
 
 def test_tail_bcap_matches(small_scene, monkeypatch):
