@@ -423,8 +423,259 @@ def key_sweep():
             f"pairs/ray {agg['pair_tests'] / n_tiles / TILE:6.1f}")
 
 
+def generic_collapse(nodes8, m, width):
+    """collapse4's expansion policy (largest-area internal slot) for any
+    width, as plain (bounds [n, w, 6], metas [n, w]) arrays: metas > 0
+    internal wide id + 1, < 0 -(cid+1), 0 empty."""
+    nodes = np.asarray(nodes8)[:m]
+    links = nodes[:, 6:8].view(np.int32)
+    skip, col7 = links[:, 0], links[:, 1]
+
+    def area(b):
+        d = np.maximum(b[3:6] - b[0:3], 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    out, b2q, pending = [], {}, []
+
+    def create(b):
+        if b in b2q:
+            return b2q[b]
+        my = len(out)
+        b2q[b] = my
+        left = b + 1
+        slots = [left, skip[left]]
+        while len(slots) < width:
+            best, best_a = -1, -1.0
+            for i, s in enumerate(slots):
+                if col7[s] < 0 and area(nodes[s]) > best_a:
+                    best, best_a = i, area(nodes[s])
+            if best < 0:
+                break
+            s = slots.pop(best)
+            slots.extend([s + 1, skip[s + 1]])
+        ent = []
+        for s in slots:
+            if col7[s] >= 0:
+                ent.append(("leaf", int(col7[s]), nodes[s, :6]))
+            else:
+                ent.append(("int", int(s), nodes[s, :6]))
+                pending.append(int(s))
+        out.append(ent)
+        return my
+
+    create(0)
+    while pending:
+        create(pending.pop())
+    n = len(out)
+    bounds = np.zeros((n, width, 6), np.float32)
+    metas = np.zeros((n, width), np.int64)
+    for qid, ent in enumerate(out):
+        for c, e in enumerate(ent):
+            bounds[qid, c] = e[2]
+            metas[qid, c] = (-(e[1] + 1) if e[0] == "leaf"
+                             else b2q[e[1]] + 1)
+    return bounds, metas
+
+
+def walk_tile_generic(bounds, metas, ox, oy, oz, dx, dy, dz,
+                      starts, counts, tris):
+    """walk_tile on the generic width-w structure (no MT pruning detail
+    change: identical semantics, parameterized width)."""
+    width = metas.shape[1]
+    n = ox.shape[0]
+    ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    closest = np.full(n, T_MAX, np.float32)
+    mdx, mdy, mdz = dx.sum(), dy.sum(), dz.sum()
+    visits = leaf_visits = pair_tests = 0
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        visits += 1
+        entries = []
+        for cc in range(width):
+            meta = metas[nid, cc]
+            if meta == 0:
+                continue
+            lo = bounds[nid, cc, 0:3]
+            hi = bounds[nid, cc, 3:6]
+            l0, h0 = (lo[0] - ox) * ivx, (hi[0] - ox) * ivx
+            l1, h1 = (lo[1] - oy) * ivy, (hi[1] - oy) * ivy
+            l2, h2 = (lo[2] - oz) * ivz, (hi[2] - oz) * ivz
+            t_en = np.maximum(np.minimum(l0, h0),
+                              np.maximum(np.minimum(l1, h1),
+                                         np.minimum(l2, h2)))
+            t_ex = np.minimum(np.maximum(l0, h0),
+                              np.minimum(np.maximum(l1, h1),
+                                         np.maximum(l2, h2)))
+            hit = (t_ex > t_en) & (t_ex > T_MIN) & (t_en < closest)
+            if not hit.any():
+                continue
+            key = ((lo[0] + hi[0]) * mdx + (lo[1] + hi[1]) * mdy
+                   + (lo[2] + hi[2]) * mdz)
+            entries.append((key, meta, hit))
+        for key, meta, hit in sorted([e for e in entries if e[1] > 0],
+                                     key=lambda e: -e[0]):
+            stack.append(meta - 1)
+        for key, meta, hit in entries:
+            if meta > 0:
+                continue
+            leaf_visits += 1
+            cid = -meta - 1
+            s0, cnt = starts[cid], counts[cid]
+            pair_tests += cnt * int(hit.sum())
+            sel = np.nonzero(hit)[0]
+            tv = tris[s0:s0 + cnt]
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            o = np.stack([ox[sel], oy[sel], oz[sel]], -1)[:, None]
+            d = np.stack([dx[sel], dy[sel], dz[sel]], -1)[:, None]
+            pv = np.cross(d, e2[None])
+            det = (e1[None] * pv).sum(-1)
+            ok = np.abs(det) >= DET_EPS
+            invd = 1.0 / np.where(ok, det, 1.0)
+            s = o - v0[None]
+            u = invd * (s * pv).sum(-1)
+            q = np.cross(s, e1[None])
+            v = invd * (d * q).sum(-1)
+            tt = invd * (e2[None] * q).sum(-1)
+            ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok &= (tt > T_MIN) & (tt < closest[sel, None])
+            tt = np.where(ok, tt, T_MAX).astype(np.float32)
+            tb = tt.min(axis=1)
+            closest[sel] = np.minimum(closest[sel], tb)
+    return dict(visits=visits, leaf_visits=leaf_visits,
+                pair_tests=pair_tests)
+
+
+def structure_sweep():
+    """Part 3: node width (BVH8 vs BVH16) and split half-tile stacks,
+    in union-visit terms, for sorted bounce-1 tiles under the om9 and
+    cid keys (the round-3 production candidates)."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(5)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    llc = np.asarray(cam.lower_left_corner, np.float64)
+    horiz = np.asarray(cam.horizontal, np.float64)
+    vert = np.asarray(cam.vertical, np.float64)
+    orig = np.asarray(cam.origin, np.float64)
+    d = (llc + u[:, None] * horiz + v[:, None] * vert - orig)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(orig.astype(np.float32), d.shape).copy()
+    n_pool = 16 * TILE
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_p, d_p = o[pick], d[pick]
+
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+    smin = verts.reshape(-1, 3).min(0)
+    smax = verts.reshape(-1, 3).max(0)
+
+    hits_o, hits_d, hits_cid = [], [], []
+    for ti in range(n_pool // TILE):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        closest, winv, _ = walk_tile(wide, o_p[sl, 0], o_p[sl, 1],
+                                     o_p[sl, 2], d_p[sl, 0], d_p[sl, 1],
+                                     d_p[sl, 2], starts, counts, tris)
+        hit = winv >= 0
+        hp = o_p[sl][hit] + closest[hit, None] * d_p[sl][hit]
+        tv = tris[winv[hit]]
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        dd = d_p[sl][hit]
+        n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+        sph = rng.normal(size=n.shape)
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        nd = (n + sph)
+        nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True), 1e-30)
+        hits_o.append(hp)
+        hits_d.append(nd.astype(np.float32))
+        cid = np.searchsorted(starts, winv[hit], side="right") - 1
+        hits_cid.append(cid.astype(np.int64))
+    o_b = np.concatenate(hits_o)
+    d_b = np.concatenate(hits_d)
+    cid_b = np.concatenate(hits_cid)
+    oct3 = ((d_b[:, 0] > 0).astype(np.int64)
+            | ((d_b[:, 1] > 0).astype(np.int64) << 1)
+            | ((d_b[:, 2] > 0).astype(np.int64) << 2))
+    key = (cid_b << 3) | oct3
+    order = np.argsort(key, kind="stable")
+    o_b, d_b = o_b[order], d_b[order]
+    n_tiles = o_b.shape[0] // TILE
+    log(f"structure sweep: {o_b.shape[0]} bounce-1 rays (cid key), "
+        f"{n_tiles} tiles")
+
+    # binary tree reused for both widths
+    from raytracer_tpu.bvh.build import build_bvh_numpy
+    bvh = build_bvh_numpy(verts, leaf_size=8)
+    m = bvh.num_nodes
+    leaf_mask = bvh.node_tri >= 0
+    nleaves = int(leaf_mask.sum())
+    lids = np.empty(m, np.int32)
+    lids[leaf_mask] = np.arange(nleaves, dtype=np.int32)
+    lids[~leaf_mask] = -(np.nonzero(~leaf_mask)[0].astype(np.int32) + 2)
+    nodes8 = np.zeros((m, 8), np.float32)
+    nodes8[:, 0:3] = bvh.node_min
+    nodes8[:, 3:6] = bvh.node_max
+    nodes8[:, 6] = bvh.node_skip.astype(np.int32).view(np.float32)
+    nodes8[:, 7] = lids.view(np.float32)
+    st8 = bvh.node_tri[leaf_mask].astype(np.int64)
+    ct8 = bvh.node_ntri[leaf_mask].astype(np.int64)
+    tr8 = verts[bvh.order]
+
+    for width in (8, 16):
+        bb, mm = generic_collapse(nodes8, m, width)
+        agg = dict(visits=0, leaf_visits=0, pair_tests=0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            st = walk_tile_generic(bb, mm, o_b[sl, 0], o_b[sl, 1],
+                                   o_b[sl, 2], d_b[sl, 0], d_b[sl, 1],
+                                   d_b[sl, 2], st8, ct8, tr8)
+            for k in agg:
+                agg[k] += st[k]
+        log(f"  width={width:2d}: nodes {bb.shape[0]:5d}  "
+            f"visits/tile {agg['visits'] / n_tiles:7.1f}  "
+            f"slab tests/tile {agg['visits'] * width / n_tiles:8.1f}  "
+            f"leaf/tile {agg['leaf_visits'] / n_tiles:7.1f}")
+
+    # split stacks: whole [2048] tile vs two sorted halves of 1024
+    bb, mm = generic_collapse(nodes8, m, 8)
+    whole = dict(visits=0, leaf_visits=0, pair_tests=0)
+    halves = dict(visits=0, leaf_visits=0, pair_tests=0)
+    for ti in range(n_tiles):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        st = walk_tile_generic(bb, mm, o_b[sl, 0], o_b[sl, 1],
+                               o_b[sl, 2], d_b[sl, 0], d_b[sl, 1],
+                               d_b[sl, 2], st8, ct8, tr8)
+        for k in whole:
+            whole[k] += st[k]
+        for half in range(2):
+            s2 = slice(ti * TILE + half * (TILE // 2),
+                       ti * TILE + (half + 1) * (TILE // 2))
+            st = walk_tile_generic(bb, mm, o_b[s2, 0], o_b[s2, 1],
+                                   o_b[s2, 2], d_b[s2, 0], d_b[s2, 1],
+                                   d_b[s2, 2], st8, ct8, tr8)
+            for k in halves:
+                halves[k] += st[k]
+    log(f"  whole tile : visits/tile {whole['visits'] / n_tiles:7.1f} "
+        f"leaf {whole['leaf_visits'] / n_tiles:7.1f}")
+    log(f"  2 halves   : visits/tile {halves['visits'] / n_tiles:7.1f} "
+        f"leaf {halves['leaf_visits'] / n_tiles:7.1f} "
+        f"(vector work x{halves['visits'] / 2 / whole['visits']:.2f}, "
+        f"fixed cost x{halves['visits'] / whole['visits']:.2f})")
+
+
 if __name__ == "__main__":
-    if os.environ.get("EXP28_PART", "1") == "2":
+    part = os.environ.get("EXP28_PART", "1")
+    if part == "2":
         key_sweep()
+    elif part == "3":
+        structure_sweep()
     else:
         main()
