@@ -11,6 +11,11 @@ run() {
   env "$@" python bench.py 2>&1 | grep -v WARNING | tail -2 | tee -a "$LOG"
 }
 
+# Small-first kernel smoke (new key-mode kernel binary) — a fatal bug
+# at full frame can wedge the worker; catch it at 256x128 first.
+echo "=== smoke $(date +%H:%M:%S)" | tee -a "$LOG"
+python experiments/r3_smoke.py 2>&1 | grep -v WARNING | tail -10 | tee -a "$LOG"
+
 # Fresh flagship baseline with in-kernel count rows + carried keys.
 run flagship_default RAYTPU_BENCH_FRAMES=12
 # Packed-state rounds: column gather (regressed r3) vs row gather
