@@ -671,11 +671,124 @@ def structure_sweep():
         f"fixed cost x{halves['visits'] / whole['visits']:.2f})")
 
 
+def deep_key_sweep():
+    """Part 4: pd5 vs om9 vs cid at bounce DEPTH (bounce-3 rays after two
+    Lambert scatters) — checks the bounce-1 ranking holds where rounds
+    are most incoherent."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(9)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    d = (np.asarray(cam.lower_left_corner)
+         + u[:, None] * np.asarray(cam.horizontal)
+         + v[:, None] * np.asarray(cam.vertical)
+         - np.asarray(cam.origin))
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(np.asarray(cam.origin, np.float32),
+                        d.shape).copy()
+    n_pool = 24 * TILE
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_c, d_c = o[pick], d[pick]
+
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+    smin = verts.reshape(-1, 3).min(0)
+    smax = verts.reshape(-1, 3).max(0)
+
+    def advance(o_c, d_c, samples=1):
+        """Walk all tiles; Lambert-scatter the hits (``samples``
+        independent scatters per hit — union statistics only, so
+        multiplying survivors is fair). Returns new o, d, winner cid."""
+        ho, hd, hc = [], [], []
+        for ti in range(o_c.shape[0] // TILE):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            closest, winv, _ = walk_tile(
+                wide, o_c[sl, 0], o_c[sl, 1], o_c[sl, 2],
+                d_c[sl, 0], d_c[sl, 1], d_c[sl, 2], starts, counts, tris)
+            hit = winv >= 0
+            hp = o_c[sl][hit] + closest[hit, None] * d_c[sl][hit]
+            tv = tris[winv[hit]]
+            n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                            1e-30)
+            dd = d_c[sl][hit]
+            n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+            cid = np.searchsorted(starts, winv[hit], side="right") - 1
+            for _ in range(samples):
+                sph = rng.normal(size=n.shape)
+                sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+                nd = n + sph
+                nd /= np.maximum(np.linalg.norm(nd, axis=1,
+                                                keepdims=True), 1e-30)
+                ho.append(hp)
+                hd.append(nd.astype(np.float32))
+                hc.append(cid.astype(np.int64))
+        return (np.concatenate(ho), np.concatenate(hd),
+                np.concatenate(hc))
+
+    # round-2 input = scatters off primary hits (the dominant bounce
+    # round, covered by part 2); round-3 input = scatters off round-2
+    # hits — only ~5% of round-2 rays hit again (matches production's
+    # ~1.8 mean segments/ray), so multiply samples for statistics.
+    for depth, samples in ((0, 1), (1, 4)):
+        o_c, d_c, cid_c = advance(o_c, d_c, samples=samples)
+        log(f"round-{depth + 2} input pool: {o_c.shape[0]} rays "
+            f"(x{samples} scatters)")
+        o_c = o_c[:o_c.shape[0] // TILE * TILE]
+        d_c = d_c[:o_c.shape[0]]
+        cid_c = cid_c[:o_c.shape[0]]
+
+    def morton(chans, bits):
+        key = np.zeros(chans[0].shape[0], np.int64)
+        for b in range(bits):
+            for i, c in enumerate(chans):
+                key |= ((c >> b) & 1) << (len(chans) * b + i)
+        return key
+
+    def quant(x, lo, hi, bits):
+        span = np.maximum(hi - lo, 1e-6)
+        return np.clip((x - lo) / span * (2 ** bits - 1), 0,
+                       2 ** bits - 1).astype(np.int64)
+
+    oct3 = ((d_c[:, 0] > 0).astype(np.int64)
+            | ((d_c[:, 1] > 0).astype(np.int64) << 1)
+            | ((d_c[:, 2] > 0).astype(np.int64) << 2))
+    oc5 = [quant(o_c[:, ax], smin[ax], smax[ax], 5) for ax in range(3)]
+    dc5 = [quant(d_c[:, ax], -1.0, 1.0, 5) for ax in range(3)]
+    os9 = [quant(o_c[:, ax], smin[ax], smax[ax], 9) for ax in range(3)]
+    keys = {
+        "pd5": morton(oc5 + dc5, 5),
+        "om9": (morton(os9, 9) << 3) | oct3,
+        "cid": (cid_c << 3) | oct3,
+    }
+    n_tiles = o_c.shape[0] // TILE
+    for name, key in keys.items():
+        order = np.argsort(key, kind="stable")
+        oo, dd = o_c[order], d_c[order]
+        agg = dict(visits=0, leaf_visits=0, pair_tests=0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            _, _, st = walk_tile(wide, oo[sl, 0], oo[sl, 1], oo[sl, 2],
+                                 dd[sl, 0], dd[sl, 1], dd[sl, 2],
+                                 starts, counts, tris)
+            for k in agg:
+                agg[k] += st[k]
+        log(f"  round-3  {name:4s}: visits/tile {agg['visits'] / n_tiles:7.1f}"
+            f"  leaf/tile {agg['leaf_visits'] / n_tiles:7.1f}")
+
+
 if __name__ == "__main__":
     part = os.environ.get("EXP28_PART", "1")
     if part == "2":
         key_sweep()
     elif part == "3":
         structure_sweep()
+    elif part == "4":
+        deep_key_sweep()
     else:
         main()
