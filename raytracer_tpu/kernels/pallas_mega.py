@@ -287,13 +287,14 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                         ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                         ok &= (u + v <= 1.0)
                         ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
-                        flip = (rdx * nux + rdy * nuy
-                                + rdz * nuz) > 0.0
-                        sgn = jnp.where(flip, -1.0, 1.0)
+                        # Normal flip toward the ray is DEFERRED to the
+                        # end of the walk: flipping only the final
+                        # winner is bit-identical (same dot, same
+                        # products) and saves ~9 vector ops per tri.
                         cl = jnp.where(ok, tt, cl)
-                        nx = jnp.where(ok, sgn * nux, nx)
-                        ny = jnp.where(ok, sgn * nuy, ny)
-                        nz = jnp.where(ok, sgn * nuz, nz)
+                        nx = jnp.where(ok, nux, nx)
+                        ny = jnp.where(ok, nuy, ny)
+                        nz = jnp.where(ok, nuz, nz)
                         tar = jnp.where(ok, s(9), tar)
                         tag = jnp.where(ok, s(10), tag)
                         tab = jnp.where(ok, s(11), tab)
@@ -341,6 +342,15 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             jax.lax.while_loop(cond, body,
                                (have0, jnp.int32(0), jnp.int32(0),
                                 jnp.int32(0), jnp.bool_(False)))
+            # Deferred normal flip (see mt_half): orient the WINNER's
+            # unit normal against the ray once, instead of per tri.
+            # No-hit lanes hold n == 0: dot == 0, sgn == 1, unchanged.
+            fnx, fny, fnz = nx_s[:], ny_s[:], nz_s[:]
+            flip = (rdx * fnx + rdy * fny + rdz * fnz) > 0.0
+            sgn = jnp.where(flip, -1.0, 1.0)
+            nx_s[:] = sgn * fnx
+            ny_s[:] = sgn * fny
+            nz_s[:] = sgn * fnz
 
         def shade():
             alive = act_r[:] > 0.5

@@ -183,15 +183,12 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
                 ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
                 ok &= (tt > t_min) & (tt < closest) & hit
 
-                if flip_normals:
-                    flip = (rdx * nux + rdy * nuy + rdz * nuz) > 0.0
-                    sgn = jnp.where(flip, -1.0, 1.0)
-                else:
-                    sgn = 1.0
+                # Flip toward the ray deferred to walk end (bit-identical:
+                # only the winner's normal survives).
                 closest = jnp.where(ok, tt, closest)
-                nx = jnp.where(ok, sgn * nux, nx)
-                ny = jnp.where(ok, sgn * nuy, ny)
-                nz = jnp.where(ok, sgn * nuz, nz)
+                nx = jnp.where(ok, nux, nx)
+                ny = jnp.where(ok, nuy, ny)
+                nz = jnp.where(ok, nuz, nz)
                 ar = jnp.where(ok, s(9), ar)
                 ag = jnp.where(ok, s(10), ag)
                 ab = jnp.where(ok, s(11), ab)
@@ -210,6 +207,15 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
         return carry
 
     jax.lax.while_loop(cond, body, (node0, jnp.int32(-1)))
+    if flip_normals:
+        # Deferred flip of the winner's unit normal (see the leaf loop).
+        # No-hit lanes hold n == 0: dot == 0, sgn == 1, unchanged.
+        fnx, fny, fnz = nx_ref[:], ny_ref[:], nz_ref[:]
+        flip = (rdx * fnx + rdy * fny + rdz * fnz) > 0.0
+        sgn = jnp.where(flip, -1.0, 1.0)
+        nx_ref[:] = sgn * fnx
+        ny_ref[:] = sgn * fny
+        nz_ref[:] = sgn * fnz
 
 
 WIDE = WIDE_WIDTH  # children per wide node: one node = one 128-float row
@@ -389,16 +395,13 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                     ok &= (u + v <= 1.0)
                     ok &= (tt > t_min) & (tt < cl) & hit_c[cc]
 
-                    if flip_normals:
-                        flip = (rdx * nux + rdy * nuy
-                                + rdz * nuz) > 0.0
-                        sgn = jnp.where(flip, -1.0, 1.0)
-                    else:
-                        sgn = 1.0
+                    # Normal flip toward the ray is DEFERRED to walk end
+                    # (flipping only the final winner is bit-identical;
+                    # ~9 vector ops per tri saved).
                     cl = jnp.where(ok, tt, cl)
-                    nx = jnp.where(ok, sgn * nux, nx)
-                    ny = jnp.where(ok, sgn * nuy, ny)
-                    nz = jnp.where(ok, sgn * nuz, nz)
+                    nx = jnp.where(ok, nux, nx)
+                    ny = jnp.where(ok, nuy, ny)
+                    nz = jnp.where(ok, nuz, nz)
                     ar = jnp.where(ok, s(9), ar)
                     ag = jnp.where(ok, s(10), ag)
                     ab = jnp.where(ok, s(11), ab)
@@ -431,6 +434,15 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
 
     jax.lax.while_loop(cond, body, (have0, jnp.int32(0), jnp.int32(0),
                                     jnp.int32(0), jnp.bool_(False)))
+    if flip_normals:
+        # Deferred flip of the winner's unit normal (see mt_half).
+        # No-hit lanes hold n == 0: dot == 0, sgn == 1, unchanged.
+        fnx, fny, fnz = nx_ref[:], ny_ref[:], nz_ref[:]
+        flip = (rdx * fnx + rdy * fny + rdz * fnz) > 0.0
+        sgn = jnp.where(flip, -1.0, 1.0)
+        nx_ref[:] = sgn * fnx
+        ny_ref[:] = sgn * fny
+        nz_ref[:] = sgn * fnz
 
 
 # SMEM stack capacity: each visit pops 1 and pushes <= WIDE entries, so
