@@ -37,6 +37,11 @@ run flagship_tailb3 RAYTPU_BENCH_FRAMES=12 RAYTPU_TAIL_BCAP=3
 # pd5; both kernel-emitted, so zero glue cost).
 run flagship_om9 RAYTPU_BENCH_FRAMES=12 RAYTPU_SORT_KEY=om9
 run flagship_cid RAYTPU_BENCH_FRAMES=12 RAYTPU_SORT_KEY=cid
+# No-color carry (death deposits ride atten): 25% less sort traffic,
+# 6 fewer kernel HBM blocks/round; bit-identical images (tested).
+run flagship_f12 RAYTPU_BENCH_FRAMES=12 RAYTPU_WAVE=fused12
+run flagship_f12_cid RAYTPU_BENCH_FRAMES=12 RAYTPU_WAVE=fused12 \
+    RAYTPU_SORT_KEY=cid
 # Mode validation at round-3 final state.
 run two_humans RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans
 run car_1080p RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p

@@ -131,8 +131,19 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                  tcid_s,
                  *, t_min, t_max, det_eps, fuzz_const, emissive_emits,
                  ordered=True, key_mode="pd5"):
-        (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-         cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r) = outs
+        # Two state layouts: 14 refs (with color columns) or 11 refs —
+        # the "no-color" carry exploits the invariant that a ray's color
+        # is written ONLY in the round it dies (miss -> sky, emissive ->
+        # add-and-die, absorb/kill -> black): the death deposit rides in
+        # the attenuation columns instead, cutting 3 columns of per-round
+        # sort traffic and 6 of the kernel's HBM block transfers.
+        carry_color = len(outs) == 14
+        if carry_color:
+            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+             cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r) = outs
+        else:
+            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+             ar_r, ag_r, ab_r, seed_r, act_r) = outs
         # Copy state into the output refs; everything below mutates those.
         for src, dst in zip(ins, outs):
             dst[:] = src[:]
@@ -371,10 +382,11 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             skb = jnp.where(sky_on, omt + tsky * 1.0, zero)
 
             atr, atg, atb = ar_r[:], ag_r[:], ab_r[:]
-            cr, cg, cb = cr_r[:], cg_r[:], cb_r[:]
-            cr = jnp.where(miss, atr * skr, cr)
-            cg = jnp.where(miss, atg * skg, cg)
-            cb = jnp.where(miss, atb * skb, cb)
+            if carry_color:
+                cr, cg, cb = cr_r[:], cg_r[:], cb_r[:]
+                cr = jnp.where(miss, atr * skr, cr)
+                cg = jnp.where(miss, atg * skg, cg)
+                cb = jnp.where(miss, atb * skb, cb)
 
             mt = tmt_s[:]
             albr, albg, albb = tar_s[:], tag_s[:], tab_s[:]
@@ -415,25 +427,50 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
 
             met_ok = (newx * nx + newy * ny + newz * nz) > 0.0
             scattered = hit & (is_lam | (is_metal & met_ok))
-            if emissive_emits:
-                emis = hit & is_emis
-                cr = jnp.where(emis, cr + albr * atr, cr)
-                cg = jnp.where(emis, cg + albg * atg, cg)
-                cb = jnp.where(emis, cb + albb * atb, cb)
+            if carry_color:
+                if emissive_emits:
+                    emis = hit & is_emis
+                    cr = jnp.where(emis, cr + albr * atr, cr)
+                    cg = jnp.where(emis, cg + albg * atg, cg)
+                    cb = jnp.where(emis, cb + albb * atb, cb)
+                ar_n = jnp.where(scattered, atr * albr, atr)
+                ag_n = jnp.where(scattered, atg * albg, atg)
+                ab_n = jnp.where(scattered, atb * albb, atb)
+                cr_r[:], cg_r[:], cb_r[:] = cr, cg, cb
+            else:
+                # No-color carry: a dying ray's atten column BECOMES its
+                # deposit (same products as the color writes above —
+                # bit-identical sums at the XLA-side scatter): miss ->
+                # atten * sky; emissive (when it emits) -> albedo * atten
+                # (its color was necessarily 0: only dying rays write
+                # color, and dead rays don't hit); any other death
+                # (absorbed metal, non-emitting emissive) -> black.
+                dep_r = jnp.where(miss, atr * skr, zero)
+                dep_g = jnp.where(miss, atg * skg, zero)
+                dep_b = jnp.where(miss, atb * skb, zero)
+                if emissive_emits:
+                    emis = hit & is_emis
+                    dep_r = jnp.where(emis, albr * atr, dep_r)
+                    dep_g = jnp.where(emis, albg * atg, dep_g)
+                    dep_b = jnp.where(emis, albb * atb, dep_b)
+                # Dead-on-entry rays keep their existing deposit.
+                dep_r = jnp.where(alive, dep_r, atr)
+                dep_g = jnp.where(alive, dep_g, atg)
+                dep_b = jnp.where(alive, dep_b, atb)
+                ar_n = jnp.where(scattered, atr * albr, dep_r)
+                ag_n = jnp.where(scattered, atg * albg, dep_g)
+                ab_n = jnp.where(scattered, atb * albb, dep_b)
 
             hx = rox + rdx * t
             hy = roy + rdy * t
             hz = roz + rdz * t
-            ar_r[:] = jnp.where(scattered, atr * albr, atr)
-            ag_r[:] = jnp.where(scattered, atg * albg, atg)
-            ab_r[:] = jnp.where(scattered, atb * albb, atb)
+            ar_r[:], ag_r[:], ab_r[:] = ar_n, ag_n, ab_n
             rox_r[:] = jnp.where(scattered, hx, rox)
             roy_r[:] = jnp.where(scattered, hy, roy)
             roz_r[:] = jnp.where(scattered, hz, roz)
             rdx_r[:] = jnp.where(scattered, newx, rdx)
             rdy_r[:] = jnp.where(scattered, newy, rdy)
             rdz_r[:] = jnp.where(scattered, newz, rdz)
-            cr_r[:], cg_r[:], cb_r[:] = cr, cg, cb
             seed_r[:] = seed.astype(jnp.int32)
             act_r[:] = scattered.astype(jnp.float32)
 
@@ -455,6 +492,14 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             # emitted key/live/act all reflect it. Uniform-budget callers
             # pass a huge budget and rely on bcap alone.
             bud_r[:] = bud_r[:] - entered.astype(jnp.int32)
+            if not carry_color:
+                # A budget kill is a kill-to-black: the dying ray's atten
+                # column must become its (black) deposit.
+                killed = (bud_r[:] <= 0) & (act_r[:] > 0.5)
+                zero = jnp.zeros_like(ar_r[:])
+                ar_r[:] = jnp.where(killed, zero, ar_r[:])
+                ag_r[:] = jnp.where(killed, zero, ag_r[:])
+                ab_r[:] = jnp.where(killed, zero, ab_r[:])
             act_r[:] = jnp.where(bud_r[:] > 0, act_r[:],
                                  jnp.zeros_like(act_r[:]))
             return b + 1
@@ -553,6 +598,38 @@ SF_FIELDS = 13
 SI_FIELDS = 2
 
 
+def make_kernel12(fuzz_const, emissive_emits, ordered=True,
+                  key_mode="pd5"):
+    """No-color-carry kernel: 12 state blocks in (o3 d3 atten3 seed act
+    budget), 12 out + rays/live/key. Death deposits ride in atten (see
+    _kernel_core carry_color)."""
+    def kernel(num_ref, npack_ref, clusters_ref,
+               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
+               i_ar, i_ag, i_ab, i_seed, i_act, i_bud,
+               sky_ref, bcap_ref, bounds_ref,
+               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+               ar_r, ag_r, ab_r, seed_r, act_r, bud_r,
+               rays_r, live_r, key_r,
+               stack_s, row_s, crow_s, sema, csem,
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
+               *, t_min, t_max, det_eps):
+        _kernel_core(
+            num_ref, npack_ref, clusters_ref,
+            (i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
+             i_ar, i_ag, i_ab, i_seed, i_act),
+            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+             ar_r, ag_r, ab_r, seed_r, act_r),
+            i_bud, bud_r,
+            sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
+            stack_s, row_s, crow_s, sema, csem,
+            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
+            t_min=t_min, t_max=t_max, det_eps=det_eps,
+            fuzz_const=fuzz_const, emissive_emits=emissive_emits,
+            ordered=ordered, key_mode=key_mode)
+
+    return kernel
+
+
 def make_kernel_packed(fuzz_const, emissive_emits, ordered=True,
                        key_mode="pd5"):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
@@ -635,6 +712,54 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(num_nodes, npack, clusters, sf, si, sky, bcap, bounds)
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
+                                             "t_min", "t_max", "det_eps",
+                                             "interpret", "ordered",
+                                             "key_mode"))
+def bounce_megakernel12(npack, clusters, num_nodes, state, bcap, sky,
+                        bounds, sub, fuzz, emis, t_min=1e-3, t_max=1e4,
+                        det_eps=1e-5, interpret=False, ordered=True,
+                        key_mode="pd5"):
+    """No-color-carry fused round: state = 12 blocks [rows,128] (o3 d3
+    atten3 seed(i32) act budget(i32)). Returns 15 blocks: advanced state
+    (a dying ray's atten becomes its color deposit; budget kills
+    black it out), [grid,128] rays/live count rows, next-round key.
+    Semantics otherwise identical to ``bounce_megakernel``."""
+    rows = state[0].shape[0]
+    grid = rows // sub
+    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(make_kernel12(fuzz, emis, ordered,
+                                             key_mode),
+                               t_min=t_min, t_max=t_max, det_eps=det_eps)
+    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
+    out_shape = (outf,) * 9 + (outi, outf, outi, outc, outc, outi)
+    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
+                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
+               + [pltpu.VMEM((sub, LANES), jnp.int32)])
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident] + [block] * 12
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_shape=out_shape,
+        out_specs=(block,) * 12 + (cblock, cblock, block),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes, npack, clusters, *state, sky, bcap, bounds)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",

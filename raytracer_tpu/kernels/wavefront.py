@@ -222,14 +222,27 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     fused = has4 and wave_env != "split"
     if handoff_width is not None and not fused:
         raise ValueError("tail handoff requires a fused wavefront path")
+    # No-color carry (RAYTPU_WAVE=fused12): a ray's color is written only
+    # in the round it dies, so the death deposit rides in the atten
+    # columns instead of 3 dedicated ones — 25% less per-round sort
+    # traffic, 6 fewer kernel HBM block transfers. Bit-identical deposits
+    # (same products, same scatter positions).
+    nocolor = fused and wave_env == "fused12"
     if fused:
-        from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
+        from raytracer_tpu.kernels.pallas_mega import (bounce_megakernel,
+                                                       bounce_megakernel12)
 
         num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
         skyf = jnp.asarray(sky_on, jnp.int32).reshape(1)
         bounds = scene.nodes8[0, :6]
         fused_interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
+    if nocolor:
+        # Fold dead entrants' colors (their deposits, e.g. bounce-0 sky)
+        # into atten; live entrants' colors are necessarily 0.
+        atten = tuple(jnp.where(alive, a, c)
+                      for a, c in zip(atten, color))
+        color = None
 
     out = (jnp.zeros((p,), jnp.float32),) * 3
     rays_traced = jnp.float32(0)
@@ -258,6 +271,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         None -> 1)."""
         order = jnp.argsort(key)
         glue = os.environ.get("RAYTPU_GLUE", "pack")
+        if color is None:
+            glue = "pack"  # no-color carry supports the default glue
         if glue == "perfield":
             # A/B: fifteen 1-D gathers instead of stack + row-gather +
             # per-field unpack (the pmega-path glue style). Measured
@@ -311,8 +326,11 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             pix = ipt[1]
             alive = ipt[2] > 0
         else:
-            fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                              + list(atten), axis=-1)       # [w, 12]
+            nc = 0 if color is None else 3
+            fields = (list(ray_o) + list(ray_d)
+                      + (list(color) if color is not None else [])
+                      + list(atten))
+            fpack = jnp.stack(fields, axis=-1)     # [w, 9 or 12]
             fpack = jnp.take(fpack, order, axis=0)
             ipack = jnp.stack(
                 [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
@@ -320,17 +338,22 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             ipack = jnp.take(ipack, order, axis=0)
             ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
             ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-            color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
-            atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
+            color = (None if nc == 0
+                     else (fpack[:, 6], fpack[:, 7], fpack[:, 8]))
+            atten = (fpack[:, 6 + nc], fpack[:, 7 + nc],
+                     fpack[:, 8 + nc])
             seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
             pix = ipack[:, 1]
             alive = ipack[:, 2] > 0
 
         if fused:
+            nc = 0 if color is None else 3
             w = ray_o[0].shape[0]
             blocks = tuple(
                 c.reshape(-1, BLOCK_LANES)
-                for c in (*ray_o, *ray_d, *color, *atten)) + (
+                for c in (*ray_o, *ray_d,
+                          *(color if color is not None else ()),
+                          *atten)) + (
                 jax.lax.bitcast_convert_type(
                     seed, jnp.int32).reshape(-1, BLOCK_LANES),
                 alive.astype(jnp.float32).reshape(-1, BLOCK_LANES),
@@ -340,7 +363,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                          jnp.int32))
             cap_arr = (jnp.ones((1,), jnp.int32) if cap is None
                        else jnp.asarray(cap, jnp.int32).reshape(1))
-            outs = bounce_megakernel(
+            mk = bounce_megakernel if nc else bounce_megakernel12
+            outs = mk(
                 scene.nodes4, scene.clusters, num4, blocks, cap_arr,
                 skyf, bounds, sub, float(cfg.fuzz),
                 bool(cfg.emissive_emits), t_min=float(cfg.t_min),
@@ -351,16 +375,18 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             # Per-tile count rows from the kernel: exact for any cap (one
             # count per bounce iteration a lane was live); summing
             # [grid,128] here keeps the while-cond reduction tiny.
-            rays = rays + jnp.sum(outs[15])
-            live = jnp.sum(outs[16])
+            rays = rays + jnp.sum(outs[12 + nc])
+            live = jnp.sum(outs[13 + nc])
             ray_o = (flat(0), flat(1), flat(2))
             ray_d = (flat(3), flat(4), flat(5))
-            color = (flat(6), flat(7), flat(8))
-            atten = (flat(9), flat(10), flat(11))
-            seed = jax.lax.bitcast_convert_type(outs[12], jnp.uint32
+            if nc:
+                color = (flat(6), flat(7), flat(8))
+            atten = (flat(6 + nc), flat(7 + nc), flat(8 + nc))
+            seed = jax.lax.bitcast_convert_type(outs[9 + nc], jnp.uint32
                                                 ).reshape(w)
-            alive = flat(13) > 0.5
-            key = flat(17) if kernel_key else _key(ray_o, ray_d, alive)
+            alive = flat(10 + nc) > 0.5
+            key = (flat(14 + nc) if kernel_key
+                   else _key(ray_o, ray_d, alive))
         else:
             rays = rays + jnp.sum(alive.astype(jnp.float32))
             res = pallas_traverse(scene, ray_o, ray_d, alive, cfg,
@@ -384,9 +410,10 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             # bounces-left budget — bands reach the handoff at
             # different depths, so depth must ride with the ray.
             ray_o, ray_d, color, atten, seed, alive, pix = state
-            sf = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                           + list(atten) + [alive.astype(jnp.float32)],
-                           axis=0)
+            sf = jnp.stack(list(ray_o) + list(ray_d)
+                           + (list(color) if color is not None else [])
+                           + list(atten)
+                           + [alive.astype(jnp.float32)], axis=0)
             budget = jnp.broadcast_to(cfg.max_bounces - bounce,
                                       (width,)).astype(jnp.int32)
             si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32),
@@ -423,10 +450,14 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
         ray_o, ray_d, color, atten, seed, alive, pix = state
         if is_last:
-            # Everyone still aboard deposits (alive-at-cap rays carry any
-            # emissive contribution; absorbed rays their accumulated color).
+            # Everyone still aboard deposits. No-color carry: dead rays'
+            # atten IS their deposit; alive-at-cap rays end at the bounce
+            # cap = kill-to-black (their carried color is necessarily 0
+            # in the legacy layout too).
+            dep = (color if color is not None else
+                   tuple(jnp.where(alive, 0.0, a) for a in atten))
             out = tuple(o.at[pix].add(c, mode="drop")
-                        for o, c in zip(out, color))
+                        for o, c in zip(out, dep))
             break
 
         # Shrink: one more sort packs live rays into the prefix (the while
@@ -435,8 +466,11 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         # state, so no key recompute here.
         order = jnp.argsort(key)
         key = jnp.take(key, order)[:next_width]
-        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                          + list(atten), axis=-1)
+        nc = 0 if color is None else 3
+        fields = (list(ray_o) + list(ray_d)
+                  + (list(color) if color is not None else [])
+                  + list(atten))
+        fpack = jnp.stack(fields, axis=-1)
         fpack = jnp.take(fpack, order, axis=0)
         ipack = jnp.stack(
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
@@ -448,14 +482,24 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         # bounce cap ended the loop, alive-at-cap rays' colors are final
         # too (truncation adds nothing — the reference's kill-to-black).
         tail_pix = ipack[next_width:, 1]
-        out = tuple(
-            o.at[tail_pix].add(fpack[next_width:, 6 + j], mode="drop")
-            for j, o in enumerate(out))
+        if color is None:
+            tail_alive = ipack[next_width:, 2] > 0
+            out = tuple(
+                o.at[tail_pix].add(
+                    jnp.where(tail_alive, 0.0,
+                              fpack[next_width:, 6 + j]), mode="drop")
+                for j, o in enumerate(out))
+        else:
+            out = tuple(
+                o.at[tail_pix].add(fpack[next_width:, 6 + j],
+                                   mode="drop")
+                for j, o in enumerate(out))
 
         ray_o = tuple(fpack[:next_width, j] for j in range(3))
         ray_d = tuple(fpack[:next_width, 3 + j] for j in range(3))
-        color = tuple(fpack[:next_width, 6 + j] for j in range(3))
-        atten = tuple(fpack[:next_width, 9 + j] for j in range(3))
+        if color is not None:
+            color = tuple(fpack[:next_width, 6 + j] for j in range(3))
+        atten = tuple(fpack[:next_width, 6 + nc + j] for j in range(3))
         seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
                                             jnp.uint32)
         pix = ipack[:next_width, 1]
@@ -623,7 +667,8 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     ``[out_size]`` full-frame buffers; pad rays carry id >= out_size and
     drop), bounces-left. Returns (cx, cy, cz, rays_traced).
     """
-    from raytracer_tpu.kernels.pallas_mega import bounce_megakernel
+    from raytracer_tpu.kernels.pallas_mega import (bounce_megakernel,
+                                                    bounce_megakernel12)
 
     p = sf.shape[1]
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
@@ -637,13 +682,26 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     cap1 = jnp.ones((1,), jnp.int32)
     kernel_key = key_mode in ("pd5", "om9", "cid")
 
+    nocolor = sf.shape[0] == 10  # no-color carry (RAYTPU_WAVE=fused12)
     ray_o = (sf[0], sf[1], sf[2])
     ray_d = (sf[3], sf[4], sf[5])
-    color = (sf[6], sf[7], sf[8])
-    atten = (sf[9], sf[10], sf[11])
-    # A band can hand off at its bounce cap (budget 0): those rays'
-    # colors are final — the per-band kill rule must see them dead here.
-    alive = (sf[12] > 0.5) & (si[2] > 0)
+    if nocolor:
+        color = None
+        atten = (sf[6], sf[7], sf[8])
+        alivef = sf[9] > 0.5
+        # A band can hand off at its bounce cap (budget 0): such rays die
+        # by exhaustion = kill-to-BLACK, so their atten column (which is
+        # the deposit for dead rays) must be zeroed; rays already dead at
+        # handoff keep their deposit.
+        alive = alivef & (si[2] > 0)
+        kill = alivef & ~(si[2] > 0)
+        atten = tuple(jnp.where(kill, 0.0, a) for a in atten)
+    else:
+        color = (sf[6], sf[7], sf[8])
+        atten = (sf[9], sf[10], sf[11])
+        # A band can hand off at its bounce cap (budget 0): those rays'
+        # colors are final — the per-band kill rule must see them dead.
+        alive = (sf[12] > 0.5) & (si[2] > 0)
     seed = jax.lax.bitcast_convert_type(si[0], jnp.uint32)
     pix = si[1]
     budget = si[2]
@@ -665,8 +723,11 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         (``cap`` > 1, RAYTPU_TAIL_BCAP) stay bit-identical to 1-bounce
         rounds."""
         order = jnp.argsort(key)
-        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                          + list(atten), axis=-1)
+        nc = 0 if color is None else 3
+        fields = (list(ray_o) + list(ray_d)
+                  + (list(color) if color is not None else [])
+                  + list(atten))
+        fpack = jnp.stack(fields, axis=-1)
         fpack = jnp.take(fpack, order, axis=0)
         ipack = jnp.stack(
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
@@ -674,8 +735,9 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         ipack = jnp.take(ipack, order, axis=0)
         ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
         ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-        color = (fpack[:, 6], fpack[:, 7], fpack[:, 8])
-        atten = (fpack[:, 9], fpack[:, 10], fpack[:, 11])
+        color = (None if nc == 0
+                 else (fpack[:, 6], fpack[:, 7], fpack[:, 8]))
+        atten = (fpack[:, 6 + nc], fpack[:, 7 + nc], fpack[:, 8 + nc])
         seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
         pix = ipack[:, 1]
         budget = ipack[:, 2]
@@ -684,31 +746,35 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         w = ray_o[0].shape[0]
         blocks = tuple(
             c.reshape(-1, BLOCK_LANES)
-            for c in (*ray_o, *ray_d, *color, *atten)) + (
+            for c in (*ray_o, *ray_d,
+                      *(color if color is not None else ()),
+                      *atten)) + (
             jax.lax.bitcast_convert_type(
                 seed, jnp.int32).reshape(-1, BLOCK_LANES),
             entering.astype(jnp.float32).reshape(-1, BLOCK_LANES),
             budget.reshape(-1, BLOCK_LANES))
         cap_arr = (cap1 if cap is None
                    else jnp.asarray(cap, jnp.int32).reshape(1))
-        outs = bounce_megakernel(
+        mk = bounce_megakernel if nc else bounce_megakernel12
+        outs = mk(
             scene.nodes4, scene.clusters, num4, blocks, cap_arr, skyf,
             bounds, sub, float(cfg.fuzz), bool(cfg.emissive_emits),
             t_min=float(cfg.t_min), t_max=float(cfg.t_max),
             det_eps=float(cfg.det_eps), interpret=fused_interpret,
             ordered=ordered, key_mode=key_mode if kernel_key else "pd5")
         flat = lambda i: outs[i].reshape(w)
-        rays = rays + jnp.sum(outs[15])
-        live = jnp.sum(outs[16])
+        rays = rays + jnp.sum(outs[12 + nc])
+        live = jnp.sum(outs[13 + nc])
         ray_o = (flat(0), flat(1), flat(2))
         ray_d = (flat(3), flat(4), flat(5))
-        color = (flat(6), flat(7), flat(8))
-        atten = (flat(9), flat(10), flat(11))
-        seed = jax.lax.bitcast_convert_type(outs[12],
+        if nc:
+            color = (flat(6), flat(7), flat(8))
+        atten = (flat(6 + nc), flat(7 + nc), flat(8 + nc))
+        seed = jax.lax.bitcast_convert_type(outs[9 + nc],
                                             jnp.uint32).reshape(w)
-        alive = flat(13) > 0.5
-        budget = flat(14)
-        key = flat(17) if kernel_key else _key(ray_o, ray_d, alive)
+        alive = flat(10 + nc) > 0.5
+        budget = flat(11 + nc)
+        key = flat(14 + nc) if kernel_key else _key(ray_o, ray_d, alive)
         return (ray_o, ray_d, color, atten, seed, alive, pix, budget,
                 rays, live, key)
 
@@ -741,8 +807,12 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             cond, body, (state, rays_traced, live0, key))
         ray_o, ray_d, color, atten, seed, alive, pix, budget = state
         if is_last:
+            # No-color carry: live rays' atten is attenuation, not a
+            # deposit — they end at the bounce cap = kill-to-black.
+            dep = (color if color is not None else
+                   tuple(jnp.where(alive, 0.0, a) for a in atten))
             out = tuple(o.at[pix].add(c, mode="drop")
-                        for o, c in zip(out, color))
+                        for o, c in zip(out, dep))
             break
 
         # Shrink: sort packs live rays into the prefix; the dead tail
@@ -750,21 +820,34 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         # current state.
         order = jnp.argsort(key)
         key = jnp.take(key, order)[:next_width]
-        fpack = jnp.stack(list(ray_o) + list(ray_d) + list(color)
-                          + list(atten), axis=-1)
+        nc = 0 if color is None else 3
+        fields = (list(ray_o) + list(ray_d)
+                  + (list(color) if color is not None else [])
+                  + list(atten))
+        fpack = jnp.stack(fields, axis=-1)
         fpack = jnp.take(fpack, order, axis=0)
         ipack = jnp.stack(
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
              alive.astype(jnp.int32)], axis=-1)
         ipack = jnp.take(ipack, order, axis=0)
         tail_pix = ipack[next_width:, 1]
-        out = tuple(
-            o.at[tail_pix].add(fpack[next_width:, 6 + j], mode="drop")
-            for j, o in enumerate(out))
+        if color is None:
+            tail_alive = ipack[next_width:, 3] > 0
+            out = tuple(
+                o.at[tail_pix].add(
+                    jnp.where(tail_alive, 0.0,
+                              fpack[next_width:, 6 + j]), mode="drop")
+                for j, o in enumerate(out))
+        else:
+            out = tuple(
+                o.at[tail_pix].add(fpack[next_width:, 6 + j],
+                                   mode="drop")
+                for j, o in enumerate(out))
         ray_o = tuple(fpack[:next_width, j] for j in range(3))
         ray_d = tuple(fpack[:next_width, 3 + j] for j in range(3))
-        color = tuple(fpack[:next_width, 6 + j] for j in range(3))
-        atten = tuple(fpack[:next_width, 9 + j] for j in range(3))
+        if color is not None:
+            color = tuple(fpack[:next_width, 6 + j] for j in range(3))
+        atten = tuple(fpack[:next_width, 6 + nc + j] for j in range(3))
         seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
                                             jnp.uint32)
         pix = ipack[:next_width, 1]

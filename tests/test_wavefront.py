@@ -285,6 +285,42 @@ def test_key_mode_image_invariance(small_scene, monkeypatch, mode):
     assert rays_got == rays_ref
 
 
+def test_fused12_matches_fused(small_scene, monkeypatch):
+    """RAYTPU_WAVE=fused12 (no-color carry: death deposits ride the atten
+    columns, 12 state columns instead of 15) must be BIT-identical to the
+    flat fused engine: same products, same scatter positions."""
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128)
+    monkeypatch.setenv("RAYTPU_WAVE", "fused12")
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128)
+    np.testing.assert_array_equal(got, ref)
+    assert rays_got == rays_ref
+
+
+def test_fused12_tail_merge(small_scene, monkeypatch):
+    """fused12 through the banded render + cross-band tail merge
+    (10-row handoff arrays, in-kernel budget kill-to-black zeroing the
+    atten deposit): bit-identical to the legacy 13-row path."""
+    from raytracer_tpu.engine.renderer import Renderer
+
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    monkeypatch.setenv("RAYTPU_TAIL_MERGE", "1")
+    cfg = RenderConfig(width=128, height=256, max_bounces=5,
+                       kernel="packet", band_rays=16384)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=cfg.width / cfg.height)
+    acc_ref, img_ref, st_ref = Renderer(cfg).render(small_scene,
+                                                    cam.uniforms())
+    monkeypatch.setenv("RAYTPU_WAVE", "fused12")
+    acc_12, img_12, st_12 = Renderer(cfg).render(small_scene,
+                                                 cam.uniforms())
+    np.testing.assert_array_equal(np.asarray(acc_12), np.asarray(acc_ref))
+    np.testing.assert_array_equal(np.asarray(img_12), np.asarray(img_ref))
+    assert float(st_12["rays_traced"]) == float(st_ref["rays_traced"])
+
+
 def test_cid_key_structure(small_scene):
     """One fused round with key_mode="cid": live rays' emitted keys carry
     their direction octant in the low 3 bits and a winner cluster id
