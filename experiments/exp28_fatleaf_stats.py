@@ -782,6 +782,224 @@ def deep_key_sweep():
             f"  leaf/tile {agg['leaf_visits'] / n_tiles:7.1f}")
 
 
+def walk_tile_masked(wide, ox, oy, oz, dx, dy, dz, starts, counts,
+                     tris, active):
+    """walk_tile with an active-lane mask (dead riders): inactive lanes
+    never register slab hits, so they add no visits of their own but
+    still occupy tile lanes."""
+    n = ox.shape[0]
+    ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    closest = np.full(n, T_MAX, np.float32)
+    win = np.full(n, -1, np.int64)
+    mdx = (dx * active).sum()
+    mdy = (dy * active).sum()
+    mdz = (dz * active).sum()
+    visits = leaf_visits = 0
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        visits += 1
+        row = wide[nid]
+        entries = []
+        for cc in range(8):
+            meta = decode_meta(row[16 * cc + 6], 0)
+            if meta is None:
+                continue
+            lo = row[16 * cc:16 * cc + 3]
+            hi = row[16 * cc + 3:16 * cc + 6]
+            l0, h0 = (lo[0] - ox) * ivx, (hi[0] - ox) * ivx
+            l1, h1 = (lo[1] - oy) * ivy, (hi[1] - oy) * ivy
+            l2, h2 = (lo[2] - oz) * ivz, (hi[2] - oz) * ivz
+            t_en = np.maximum(np.minimum(l0, h0),
+                              np.maximum(np.minimum(l1, h1),
+                                         np.minimum(l2, h2)))
+            t_ex = np.minimum(np.maximum(l0, h0),
+                              np.minimum(np.maximum(l1, h1),
+                                         np.maximum(l2, h2)))
+            hit = ((t_ex > t_en) & (t_ex > T_MIN) & (t_en < closest)
+                   & active)
+            if not hit.any():
+                continue
+            key = ((lo[0] + hi[0]) * mdx + (lo[1] + hi[1]) * mdy
+                   + (lo[2] + hi[2]) * mdz)
+            entries.append((key, meta, hit))
+        for key, meta, hit in sorted(
+                [e for e in entries if e[1][0] == "int"],
+                key=lambda e: -e[0]):
+            stack.append(meta[1])
+        for key, meta, hit in entries:
+            if meta[0] != "leaf":
+                continue
+            leaf_visits += 1
+            cid = meta[1]
+            s0, cnt = starts[cid], counts[cid]
+            sel = np.nonzero(hit)[0]
+            tv = tris[s0:s0 + cnt]
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            o = np.stack([ox[sel], oy[sel], oz[sel]], -1)[:, None]
+            d = np.stack([dx[sel], dy[sel], dz[sel]], -1)[:, None]
+            pv = np.cross(d, e2[None])
+            det = (e1[None] * pv).sum(-1)
+            ok = np.abs(det) >= DET_EPS
+            invd = 1.0 / np.where(ok, det, 1.0)
+            sdel = o - v0[None]
+            u = invd * (sdel * pv).sum(-1)
+            q = np.cross(sdel, e1[None])
+            v = invd * (d * q).sum(-1)
+            tt = invd * (e2[None] * q).sum(-1)
+            ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok &= (tt > T_MIN) & (tt < closest[sel, None])
+            tt = np.where(ok, tt, T_MAX).astype(np.float32)
+            k = tt.argmin(axis=1)
+            tb = tt[np.arange(len(sel)), k]
+            better = tb < closest[sel]
+            closest[sel] = np.where(better, tb, closest[sel])
+            win[sel] = np.where(better, s0 + k, win[sel])
+    return closest, win, dict(visits=visits, leaf_visits=leaf_visits)
+
+
+def granularity_sweep():
+    """Part 5: sort at granularity g (move g-ray groups per gather row —
+    the per-round [w,N] takes and the argsort are ROW-rate limited, so
+    rows/g cuts the glue ~g-fold) vs the cost: dead rays trapped inside
+    live groups ride as inactive lanes, inflating later round widths,
+    and group-key sorting loosens tile coherence. Deaths are spatially
+    correlated through geometry (sorted neighbors hit sky together), so
+    only a walk of the real scene can price it."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(13)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    d = (np.asarray(cam.lower_left_corner)
+         + u[:, None] * np.asarray(cam.horizontal)
+         + v[:, None] * np.asarray(cam.vertical) - np.asarray(cam.origin))
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(np.asarray(cam.origin, np.float32),
+                        d.shape).copy()
+    n_pool = 24 * TILE
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_p, d_p = o[pick], d[pick]
+
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+
+    # round-1 walk (coherent primaries, g irrelevant there) -> round-2
+    # input pool in ROUND-1 SORTED ORDER (what production would carry)
+    hits_o, hits_d, hits_cid = [], [], []
+    for ti in range(n_pool // TILE):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        closest, winv, _ = walk_tile(wide, o_p[sl, 0], o_p[sl, 1],
+                                     o_p[sl, 2], d_p[sl, 0], d_p[sl, 1],
+                                     d_p[sl, 2], starts, counts, tris)
+        hit = winv >= 0
+        hp = o_p[sl][hit] + closest[hit, None] * d_p[sl][hit]
+        tv = tris[winv[hit]]
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        dd = d_p[sl][hit]
+        n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+        sph = rng.normal(size=n.shape)
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        nd = n + sph
+        nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True), 1e-30)
+        hits_o.append(hp)
+        hits_d.append(nd.astype(np.float32))
+        cid = np.searchsorted(starts, winv[hit], side="right") - 1
+        hits_cid.append(cid.astype(np.int64))
+    o2 = np.concatenate(hits_o)
+    d2 = np.concatenate(hits_d)
+    cid2 = np.concatenate(hits_cid)
+    log(f"round-2 pool: {o2.shape[0]} rays")
+
+    def key_of(d_c, cid_c):
+        oct3 = ((d_c[:, 0] > 0).astype(np.int64)
+                | ((d_c[:, 1] > 0).astype(np.int64) << 1)
+                | ((d_c[:, 2] > 0).astype(np.int64) << 2))
+        return (cid_c << 3) | oct3
+
+    for g in (1, 2, 4, 8):
+        # round 2: group-granular cid sort; group key = first member
+        key = key_of(d2, cid2)
+        m = (o2.shape[0] // (TILE)) * TILE  # whole tiles
+        o_c, d_c, kk = o2[:m], d2[:m], key[:m]
+        ng = m // g
+        gkey = kk.reshape(ng, g)[:, 0]
+        order = np.argsort(gkey, kind="stable")
+        ridx = (order[:, None] * g + np.arange(g)[None]).reshape(-1)
+        o_c, d_c = o_c[ridx], d_c[ridx]
+        active = np.ones(m, bool)
+        stats2 = dict(visits=0, leaf_visits=0)
+        new_o = np.empty_like(o_c)
+        new_d = np.empty_like(d_c)
+        new_cid = np.zeros(m, np.int64)
+        alive3 = np.zeros(m, bool)
+        for ti in range(m // TILE):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            closest, winv, st = walk_tile_masked(
+                wide, o_c[sl, 0], o_c[sl, 1], o_c[sl, 2],
+                d_c[sl, 0], d_c[sl, 1], d_c[sl, 2], starts, counts,
+                tris, active[sl])
+            for k2 in stats2:
+                stats2[k2] += st[k2]
+            hit = winv >= 0
+            hp = o_c[sl] + closest[:, None] * d_c[sl]
+            tv = tris[np.maximum(winv, 0)]
+            n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                            1e-30)
+            n = np.where((n * d_c[sl]).sum(1, keepdims=True) > 0, -n, n)
+            sph = rng.normal(size=n.shape)
+            sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+            nd = n + sph
+            nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True),
+                             1e-30)
+            new_o[sl] = np.where(hit[:, None], hp, o_c[sl])
+            new_d[sl] = np.where(hit[:, None], nd.astype(np.float32),
+                                 d_c[sl])
+            new_cid[sl] = np.where(
+                hit, np.searchsorted(starts, np.maximum(winv, 0),
+                                     side="right") - 1, 0)
+            alive3[sl] = hit
+
+        # round 3: groups with any live ray stay (dead riders inactive);
+        # fully-dead groups drop. Group key = first LIVE member's key.
+        key3 = key_of(new_d, new_cid)
+        grp_alive = alive3.reshape(-1, g)
+        keep = grp_alive.any(axis=1)
+        first_live = np.argmax(grp_alive, axis=1)
+        gkey3 = key3.reshape(-1, g)[np.arange(len(keep)), first_live]
+        kept = np.nonzero(keep)[0]
+        order3 = kept[np.argsort(gkey3[kept], kind="stable")]
+        ridx3 = (order3[:, None] * g + np.arange(g)[None]).reshape(-1)
+        w3 = len(ridx3)
+        w3t = (w3 // TILE) * TILE
+        ridx3 = ridx3[:w3t]
+        o3a, d3a = new_o[ridx3], new_d[ridx3]
+        act3 = alive3[ridx3]
+        stats3 = dict(visits=0, leaf_visits=0)
+        for ti in range(w3t // TILE):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            _, _, st = walk_tile_masked(
+                wide, o3a[sl, 0], o3a[sl, 1], o3a[sl, 2],
+                d3a[sl, 0], d3a[sl, 1], d3a[sl, 2], starts, counts,
+                tris, act3[sl])
+            for k2 in stats3:
+                stats3[k2] += st[k2]
+        live3 = int(alive3.sum())
+        log(f"g={g}: r2 visits {stats2['visits']:7d} leaf "
+            f"{stats2['leaf_visits']:7d} | r3 width {w3} "
+            f"(live {live3}, occ {live3 / max(w3, 1):.2f}) "
+            f"visits {stats3['visits']:7d} leaf {stats3['leaf_visits']:6d}"
+            f" | glue rows/round ~{m // g}")
+
+
 if __name__ == "__main__":
     part = os.environ.get("EXP28_PART", "1")
     if part == "2":
@@ -790,5 +1008,7 @@ if __name__ == "__main__":
         structure_sweep()
     elif part == "4":
         deep_key_sweep()
+    elif part == "5":
+        granularity_sweep()
     else:
         main()
