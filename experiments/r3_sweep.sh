@@ -51,3 +51,8 @@ echo "sweep done $(date +%H:%M:%S)" | tee -a "$LOG"
 # whether round 4 builds the fat-leaf matmul traversal.
 echo "=== exp27 $(date +%H:%M:%S)" | tee -a "$LOG"
 python experiments/exp27_mxu_mt.py 2>&1 | grep -v WARNING | tail -20 | tee -a "$LOG"
+
+# exp26: keypress-to-frame latency at 720p through the real ViewerApp
+# (ladder on/off measured inside the script).
+echo "=== exp26 $(date +%H:%M:%S)" | tee -a "$LOG"
+python experiments/exp26_keypress_latency.py 2>&1 | grep -v WARNING | tail -12 | tee -a "$LOG"
