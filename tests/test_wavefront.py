@@ -285,10 +285,13 @@ def test_key_mode_image_invariance(small_scene, monkeypatch, mode):
     assert rays_got == rays_ref
 
 
-def test_fused12_matches_fused(small_scene, monkeypatch):
+@pytest.mark.parametrize("key_mode", ["pd5", "cid"])
+def test_fused12_matches_fused(small_scene, monkeypatch, key_mode):
     """RAYTPU_WAVE=fused12 (no-color carry: death deposits ride the atten
     columns, 12 state columns instead of 15) must be BIT-identical to the
-    flat fused engine: same products, same scatter positions."""
+    flat fused engine — composed with either key mode (the cid variant
+    exercises kernel12's tcid tracking + key emission)."""
+    monkeypatch.setenv("RAYTPU_SORT_KEY", key_mode)
     ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
                             w=256, h=128)
     monkeypatch.setenv("RAYTPU_WAVE", "fused12")
