@@ -38,13 +38,18 @@ def main():
         imgs[mode] = np.asarray(img)
         log(f"{mode}: ok in {time.time() - t0:.1f}s "
             f"(rays {float(st['rays_traced']):.0f})")
+    bad = False
     for mode in ("om9", "cid"):
         same = np.array_equal(imgs[mode], imgs["pd5"])
         log(f"{mode} vs pd5 identical: {same}")
         if not same:
+            bad = True
             diff = np.abs(imgs[mode].astype(np.int32)
                           - imgs["pd5"].astype(np.int32))
             log(f"  MAX DIFF {diff.max()} at {int((diff > 0).sum())} px")
+    if bad:
+        log("SMOKE FAILED")
+        sys.exit(1)
     log("smoke done")
 
 

@@ -14,7 +14,13 @@ run() {
 # Small-first kernel smoke (new key-mode kernel binary) — a fatal bug
 # at full frame can wedge the worker; catch it at 256x128 first.
 echo "=== smoke $(date +%H:%M:%S)" | tee -a "$LOG"
-python experiments/r3_smoke.py 2>&1 | grep -v WARNING | tail -10 | tee -a "$LOG"
+if ! python experiments/r3_smoke.py > /tmp/r3_smoke.out 2>&1; then
+  grep -v WARNING /tmp/r3_smoke.out | tail -12 | tee -a "$LOG"
+  echo "SMOKE FAILED — aborting sweep (full-frame benches on a bad kernel\
+ can wedge the worker)" | tee -a "$LOG"
+  exit 1
+fi
+grep -v WARNING /tmp/r3_smoke.out | tail -10 | tee -a "$LOG"
 
 # Fresh flagship baseline with in-kernel count rows + carried keys.
 run flagship_default RAYTPU_BENCH_FRAMES=12

@@ -153,6 +153,14 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
         else:
             bud_r[:] = bud_in[:]
         rays_r[:] = jnp.zeros_like(rays_r[:])
+        if key_mode == "cid":
+            # Must init OUTSIDE the bounce loop too: a tile whose rays
+            # are all dead on entry never runs walk() (bcond gates on
+            # any(act)), yet the key emission below still reads tcid_s —
+            # uninitialized VMEM garbage shifted <<3 could set bit 31
+            # and sort dead rays AHEAD of live ones (interpret mode
+            # zero-fills scratch; real VMEM does not).
+            tcid_s[:] = jnp.zeros_like(tcid_s[:])
 
         sky_on = sky_ref[0] > 0
         bcap = bcap_ref[0]
@@ -559,24 +567,26 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
 
 
 def make_kernel(fuzz_const, emissive_emits, ordered=True,
-                key_mode="pd5"):
-    def kernel(num_ref, npack_ref, clusters_ref,
-               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-               i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act, i_bud,
-               sky_ref, bcap_ref, bounds_ref,
-               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-               cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r, bud_r,
-               rays_r, live_r, key_r,
-               stack_s, row_s, crow_s, sema, csem,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
-               *, t_min, t_max, det_eps):
+                key_mode="pd5", carry_color=True):
+    """Flat-block kernel for either state layout: 15 blocks (with color
+    columns) or 12 (no-color carry — death deposits ride atten, see
+    _kernel_core). State order: o3 d3 [color3] atten3 seed act budget.
+    The tcid scratch exists only for key_mode="cid"."""
+    ns = 15 if carry_color else 12
+
+    def kernel(*args, t_min, t_max, det_eps):
+        num_ref, npack_ref, clusters_ref = args[:3]
+        ins = args[3:3 + ns]
+        sky_ref, bcap_ref, bounds_ref = args[3 + ns:6 + ns]
+        outs = args[6 + ns:6 + 2 * ns]
+        rays_r, live_r, key_r = args[6 + 2 * ns:9 + 2 * ns]
+        scratch = args[9 + 2 * ns:]
+        (stack_s, row_s, crow_s, sema, csem, t_s, nx_s, ny_s, nz_s,
+         tar_s, tag_s, tab_s, tmt_s) = scratch[:13]
+        tcid_s = scratch[13] if key_mode == "cid" else None
         _kernel_core(
-            num_ref, npack_ref, clusters_ref,
-            (i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-             i_cr, i_cg, i_cb, i_ar, i_ag, i_ab, i_seed, i_act),
-            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-             cr_r, cg_r, cb_r, ar_r, ag_r, ab_r, seed_r, act_r),
-            i_bud, bud_r,
+            num_ref, npack_ref, clusters_ref, ins[:-1], outs[:-1],
+            ins[-1], outs[-1],
             sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
             stack_s, row_s, crow_s, sema, csem,
             t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
@@ -598,46 +608,15 @@ SF_FIELDS = 13
 SI_FIELDS = 2
 
 
-def make_kernel12(fuzz_const, emissive_emits, ordered=True,
-                  key_mode="pd5"):
-    """No-color-carry kernel: 12 state blocks in (o3 d3 atten3 seed act
-    budget), 12 out + rays/live/key. Death deposits ride in atten (see
-    _kernel_core carry_color)."""
-    def kernel(num_ref, npack_ref, clusters_ref,
-               i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-               i_ar, i_ag, i_ab, i_seed, i_act, i_bud,
-               sky_ref, bcap_ref, bounds_ref,
-               rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-               ar_r, ag_r, ab_r, seed_r, act_r, bud_r,
-               rays_r, live_r, key_r,
-               stack_s, row_s, crow_s, sema, csem,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
-               *, t_min, t_max, det_eps):
-        _kernel_core(
-            num_ref, npack_ref, clusters_ref,
-            (i_rox, i_roy, i_roz, i_rdx, i_rdy, i_rdz,
-             i_ar, i_ag, i_ab, i_seed, i_act),
-            (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-             ar_r, ag_r, ab_r, seed_r, act_r),
-            i_bud, bud_r,
-            sky_ref, bcap_ref, bounds_ref, rays_r, live_r, key_r,
-            stack_s, row_s, crow_s, sema, csem,
-            t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
-            t_min=t_min, t_max=t_max, det_eps=det_eps,
-            fuzz_const=fuzz_const, emissive_emits=emissive_emits,
-            ordered=ordered, key_mode=key_mode)
-
-    return kernel
-
-
 def make_kernel_packed(fuzz_const, emissive_emits, ordered=True,
                        key_mode="pd5"):
     def kernel(num_ref, npack_ref, clusters_ref, sfi, sii,
                sky_ref, bcap_ref, bounds_ref, sfo, sio, rays_r, live_r,
                key_r,
                stack_s, row_s, crow_s, sema, csem, bud_s,
-               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s, tcid_s,
-               *, t_min, t_max, det_eps):
+               t_s, nx_s, ny_s, nz_s, tar_s, tag_s, tab_s, tmt_s,
+               *maybe_tcid, t_min, t_max, det_eps):
+        tcid_s = maybe_tcid[0] if maybe_tcid else None
         ins = tuple(_RowView(sfi, f) for f in range(12)) + (
             _RowView(sii, 0), _RowView(sfi, 12))
         outs = tuple(_RowView(sfo, f) for f in range(12)) + (
@@ -698,7 +677,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,)),
                 pltpu.VMEM((sub, LANES), jnp.int32)]
                + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
-               + [pltpu.VMEM((sub, LANES), jnp.int32)])
+               + ([pltpu.VMEM((sub, LANES), jnp.int32)]
+                  if key_mode == "cid" else []))
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -714,6 +694,51 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     )(num_nodes, npack, clusters, sf, si, sky, bcap, bounds)
 
 
+def _bounce_call(npack, clusters, num_nodes, state, bcap, sky, bounds,
+                 sub, fuzz, emis, t_min, t_max, det_eps, interpret,
+                 ordered, key_mode, carry_color):
+    """Shared pallas_call plumbing for both flat state layouts."""
+    ns = 15 if carry_color else 12
+    assert len(state) == ns, (len(state), ns)
+    rows = state[0].shape[0]
+    grid = rows // sub
+    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        make_kernel(fuzz, emis, ordered, key_mode, carry_color),
+        t_min=t_min, t_max=t_max, det_eps=det_eps)
+    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
+    # advanced state (seed i32, act f32, budget i32 at the end) + per-tile
+    # rays/live count rows + next-round key
+    out_shape = ((outf,) * (ns - 3)
+                 + (outi, outf, outi, outc, outc, outi))
+    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
+                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
+               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
+               + ([pltpu.VMEM((sub, LANES), jnp.int32)]
+                  if key_mode == "cid" else []))
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  resident, resident] + [block] * ns
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_shape=out_shape,
+        out_specs=(block,) * ns + (cblock, cblock, block),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(num_nodes, npack, clusters, *state, sky, bcap, bounds)
+
+
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
                                              "t_min", "t_max", "det_eps",
                                              "interpret", "ordered",
@@ -724,42 +749,12 @@ def bounce_megakernel12(npack, clusters, num_nodes, state, bcap, sky,
                         key_mode="pd5"):
     """No-color-carry fused round: state = 12 blocks [rows,128] (o3 d3
     atten3 seed(i32) act budget(i32)). Returns 15 blocks: advanced state
-    (a dying ray's atten becomes its color deposit; budget kills
-    black it out), [grid,128] rays/live count rows, next-round key.
-    Semantics otherwise identical to ``bounce_megakernel``."""
-    rows = state[0].shape[0]
-    grid = rows // sub
-    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel12(fuzz, emis, ordered,
-                                             key_mode),
-                               t_min=t_min, t_max=t_max, det_eps=det_eps)
-    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
-    out_shape = (outf,) * 9 + (outi, outf, outi, outc, outc, outi)
-    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
-                pltpu.SMEM((128,), jnp.float32),
-                pltpu.SMEM((4, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
-               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
-               + [pltpu.VMEM((sub, LANES), jnp.int32)])
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  resident, resident] + [block] * 12
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_shape=out_shape,
-        out_specs=(block,) * 12 + (cblock, cblock, block),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(num_nodes, npack, clusters, *state, sky, bcap, bounds)
+    (a dying ray's atten becomes its color deposit; budget kills black
+    it out), [grid,128] rays/live count rows, next-round key. Semantics
+    otherwise identical to ``bounce_megakernel``."""
+    return _bounce_call(npack, clusters, num_nodes, state, bcap, sky,
+                        bounds, sub, fuzz, emis, t_min, t_max, det_eps,
+                        interpret, ordered, key_mode, carry_color=False)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "fuzz", "emis",
@@ -776,38 +771,9 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
     state (budget decremented per iteration a ray entered alive, act
     zeroed at 0), [grid,128] rays-traced and final-live count rows
     (summed over sublanes in-kernel so the callers' reductions stay
-    tiny), and the next round's pd5 sort key [rows,128] i32 (``bounds``:
+    tiny), and the next round's sort key [rows,128] i32 (``bounds``:
     [6] f32 scene min/max). t_min/t_max/det_eps come from the caller's
     RenderConfig so this path cannot diverge from the wave/mega paths."""
-    rows = state[0].shape[0]
-    grid = rows // sub
-    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(make_kernel(fuzz, emis, ordered, key_mode),
-                               t_min=t_min, t_max=t_max, det_eps=det_eps)
-    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
-    out_shape = (outf,) * 12 + (outi, outf, outi, outc, outc, outi)
-    scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
-                pltpu.SMEM((128,), jnp.float32),
-                pltpu.SMEM((4, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
-               + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
-               + [pltpu.VMEM((sub, LANES), jnp.int32)])
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  resident, resident] + [block] * 15
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_shape=out_shape,
-        out_specs=(block,) * 15 + (cblock, cblock, block),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(num_nodes, npack, clusters, *state, sky, bcap, bounds)
+    return _bounce_call(npack, clusters, num_nodes, state, bcap, sky,
+                        bounds, sub, fuzz, emis, t_min, t_max, det_eps,
+                        interpret, ordered, key_mode, carry_color=True)
