@@ -142,9 +142,10 @@ def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
         # kernel sorts descending and pushes in that order, so the
         # nearest (smallest key) child is on TOP. Emulate: push internals
         # sorted by key DESCENDING; process leaves immediately.
-        for key, meta, hit in sorted(
-                [e for e in entries if e[1][0] == "int"],
-                key=lambda e: -e[0]):
+        ints = [e for e in entries if e[1][0] == "int"]
+        if _ORDERED:
+            ints = sorted(ints, key=lambda e: -e[0])
+        for key, meta, hit in ints:
             stack.append(meta[1])
             pushes += 1
         for key, meta, hit in entries:
@@ -860,6 +861,88 @@ def walk_tile_masked(wide, ox, oy, oz, dx, dy, dz, starts, counts,
     return closest, win, dict(visits=visits, leaf_visits=leaf_visits)
 
 
+def order_sweep():
+    """Part 6: near-first push ordering ON vs OFF under the cid sort.
+    Ordering tightens closest-t earlier (fewer visits via the t_en <
+    closest prune); in cid-pure tiles the rays share origins, so the
+    ordering might already be implicit. Decides ORDER_MINW's default."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(5)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    d = (np.asarray(cam.lower_left_corner)
+         + u[:, None] * np.asarray(cam.horizontal)
+         + v[:, None] * np.asarray(cam.vertical) - np.asarray(cam.origin))
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(np.asarray(cam.origin, np.float32),
+                        d.shape).copy()
+    n_pool = 16 * TILE
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_p, d_p = o[pick], d[pick]
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+
+    hits_o, hits_d, hits_cid = [], [], []
+    for ti in range(n_pool // TILE):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        closest, winv, _ = walk_tile(wide, o_p[sl, 0], o_p[sl, 1],
+                                     o_p[sl, 2], d_p[sl, 0], d_p[sl, 1],
+                                     d_p[sl, 2], starts, counts, tris)
+        hit = winv >= 0
+        hp = o_p[sl][hit] + closest[hit, None] * d_p[sl][hit]
+        tv = tris[winv[hit]]
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        dd = d_p[sl][hit]
+        n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+        sph = rng.normal(size=n.shape)
+        sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+        nd = n + sph
+        nd /= np.maximum(np.linalg.norm(nd, axis=1, keepdims=True), 1e-30)
+        hits_o.append(hp)
+        hits_d.append(nd.astype(np.float32))
+        cid = np.searchsorted(starts, winv[hit], side="right") - 1
+        hits_cid.append(cid.astype(np.int64))
+    o_b = np.concatenate(hits_o)
+    d_b = np.concatenate(hits_d)
+    cid_b = np.concatenate(hits_cid)
+    oct3 = ((d_b[:, 0] > 0).astype(np.int64)
+            | ((d_b[:, 1] > 0).astype(np.int64) << 1)
+            | ((d_b[:, 2] > 0).astype(np.int64) << 2))
+    order = np.argsort((cid_b << 3) | oct3, kind="stable")
+    o_b, d_b = o_b[order], d_b[order]
+    n_tiles = o_b.shape[0] // TILE
+    import unittest.mock as mock
+
+    def run(ordered):
+        agg = dict(visits=0, leaf_visits=0, pair_tests=0)
+        global _ORDERED
+        _ORDERED = ordered
+        for ti in range(n_tiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            _, _, st = walk_tile(wide, o_b[sl, 0], o_b[sl, 1],
+                                 o_b[sl, 2], d_b[sl, 0], d_b[sl, 1],
+                                 d_b[sl, 2], starts, counts, tris)
+            for k in agg:
+                agg[k] += st[k]
+        log(f"  ordered={ordered}: visits/tile {agg['visits'] / n_tiles:7.1f}"
+            f"  leaf/tile {agg['leaf_visits'] / n_tiles:7.1f}"
+            f"  pairs/ray {agg['pair_tests'] / n_tiles / TILE:6.1f}")
+
+    log(f"order sweep: {o_b.shape[0]} bounce-1 rays (cid sort), "
+        f"{n_tiles} tiles")
+    run(True)
+    run(False)
+
+
+_ORDERED = True
+
+
 def granularity_sweep():
     """Part 5: sort at granularity g (move g-ray groups per gather row —
     the per-round [w,N] takes and the argsort are ROW-rate limited, so
@@ -1010,5 +1093,7 @@ if __name__ == "__main__":
         deep_key_sweep()
     elif part == "5":
         granularity_sweep()
+    elif part == "6":
+        order_sweep()
     else:
         main()
