@@ -97,6 +97,33 @@ def _part1by2(v):
     return v
 
 
+def _fields_of(ray_o, ray_d, color, atten):
+    """Round-state f32 columns in carried order (color columns only in
+    the legacy 15-column layout; the fused12 carry drops them)."""
+    return (list(ray_o) + list(ray_d)
+            + (list(color) if color is not None else []) + list(atten))
+
+
+def _pack_sorted(order, f_fields, i_cols):
+    """Row-gather the round state by ``order``: all f32 fields as ONE
+    [w, nf] stack+take (rows are the gather unit — row-rate limited,
+    exp4) and the int columns as one [w, ni]."""
+    fpack = jnp.take(jnp.stack(list(f_fields), axis=-1), order, axis=0)
+    ipack = jnp.take(jnp.stack(list(i_cols), axis=-1), order, axis=0)
+    return fpack, ipack
+
+
+def _unpack_f(fpack, color_carried):
+    """(ray_o, ray_d, color|None, atten) from a [w, 9|12] f32 pack."""
+    nc = 3 if color_carried else 0
+    ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
+    ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
+    color = ((fpack[:, 6], fpack[:, 7], fpack[:, 8]) if color_carried
+             else None)
+    atten = (fpack[:, 6 + nc], fpack[:, 7 + nc], fpack[:, 8 + nc])
+    return ray_o, ray_d, color, atten
+
+
 def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5",
              dead_bit: int = 31):
     """u32 round key; dead rays get the top bit so they sort to the tail.
@@ -326,22 +353,12 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             pix = ipt[1]
             alive = ipt[2] > 0
         else:
-            nc = 0 if color is None else 3
-            fields = (list(ray_o) + list(ray_d)
-                      + (list(color) if color is not None else [])
-                      + list(atten))
-            fpack = jnp.stack(fields, axis=-1)     # [w, 9 or 12]
-            fpack = jnp.take(fpack, order, axis=0)
-            ipack = jnp.stack(
+            fpack, ipack = _pack_sorted(
+                order, _fields_of(ray_o, ray_d, color, atten),
                 [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
-                 alive.astype(jnp.int32)], axis=-1)
-            ipack = jnp.take(ipack, order, axis=0)
-            ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
-            ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-            color = (None if nc == 0
-                     else (fpack[:, 6], fpack[:, 7], fpack[:, 8]))
-            atten = (fpack[:, 6 + nc], fpack[:, 7 + nc],
-                     fpack[:, 8 + nc])
+                 alive.astype(jnp.int32)])
+            ray_o, ray_d, color, atten = _unpack_f(fpack,
+                                                   color is not None)
             seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
             pix = ipack[:, 1]
             alive = ipack[:, 2] > 0
@@ -466,21 +483,17 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         # state, so no key recompute here.
         order = jnp.argsort(key)
         key = jnp.take(key, order)[:next_width]
-        nc = 0 if color is None else 3
-        fields = (list(ray_o) + list(ray_d)
-                  + (list(color) if color is not None else [])
-                  + list(atten))
-        fpack = jnp.stack(fields, axis=-1)
-        fpack = jnp.take(fpack, order, axis=0)
-        ipack = jnp.stack(
+        fpack, ipack = _pack_sorted(
+            order, _fields_of(ray_o, ray_d, color, atten),
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
-             alive.astype(jnp.int32)], axis=-1)
-        ipack = jnp.take(ipack, order, axis=0)
+             alive.astype(jnp.int32)])
 
         # The tail is final either way: if rounds remain, the while cond
         # guaranteed live <= next_width so every tail ray is dead; if the
         # bounce cap ended the loop, alive-at-cap rays' colors are final
         # too (truncation adds nothing — the reference's kill-to-black).
+        # (No-color carry: a dead tail ray's deposit is its atten column,
+        # i.e. pack column 6+j either way; alive tail rays deposit black.)
         tail_pix = ipack[next_width:, 1]
         if color is None:
             tail_alive = ipack[next_width:, 2] > 0
@@ -495,11 +508,8 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                                    mode="drop")
                 for j, o in enumerate(out))
 
-        ray_o = tuple(fpack[:next_width, j] for j in range(3))
-        ray_d = tuple(fpack[:next_width, 3 + j] for j in range(3))
-        if color is not None:
-            color = tuple(fpack[:next_width, 6 + j] for j in range(3))
-        atten = tuple(fpack[:next_width, 6 + nc + j] for j in range(3))
+        ray_o, ray_d, color, atten = _unpack_f(fpack[:next_width],
+                                               color is not None)
         seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
                                             jnp.uint32)
         pix = ipack[:next_width, 1]
@@ -723,26 +733,17 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         (``cap`` > 1, RAYTPU_TAIL_BCAP) stay bit-identical to 1-bounce
         rounds."""
         order = jnp.argsort(key)
-        nc = 0 if color is None else 3
-        fields = (list(ray_o) + list(ray_d)
-                  + (list(color) if color is not None else [])
-                  + list(atten))
-        fpack = jnp.stack(fields, axis=-1)
-        fpack = jnp.take(fpack, order, axis=0)
-        ipack = jnp.stack(
+        fpack, ipack = _pack_sorted(
+            order, _fields_of(ray_o, ray_d, color, atten),
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
-             alive.astype(jnp.int32)], axis=-1)
-        ipack = jnp.take(ipack, order, axis=0)
-        ray_o = (fpack[:, 0], fpack[:, 1], fpack[:, 2])
-        ray_d = (fpack[:, 3], fpack[:, 4], fpack[:, 5])
-        color = (None if nc == 0
-                 else (fpack[:, 6], fpack[:, 7], fpack[:, 8]))
-        atten = (fpack[:, 6 + nc], fpack[:, 7 + nc], fpack[:, 8 + nc])
+             alive.astype(jnp.int32)])
+        ray_o, ray_d, color, atten = _unpack_f(fpack, color is not None)
         seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
         pix = ipack[:, 1]
         budget = ipack[:, 2]
         entering = ipack[:, 3] > 0
 
+        nc = 0 if color is None else 3
         w = ray_o[0].shape[0]
         blocks = tuple(
             c.reshape(-1, BLOCK_LANES)
@@ -820,16 +821,10 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         # current state.
         order = jnp.argsort(key)
         key = jnp.take(key, order)[:next_width]
-        nc = 0 if color is None else 3
-        fields = (list(ray_o) + list(ray_d)
-                  + (list(color) if color is not None else [])
-                  + list(atten))
-        fpack = jnp.stack(fields, axis=-1)
-        fpack = jnp.take(fpack, order, axis=0)
-        ipack = jnp.stack(
+        fpack, ipack = _pack_sorted(
+            order, _fields_of(ray_o, ray_d, color, atten),
             [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
-             alive.astype(jnp.int32)], axis=-1)
-        ipack = jnp.take(ipack, order, axis=0)
+             alive.astype(jnp.int32)])
         tail_pix = ipack[next_width:, 1]
         if color is None:
             tail_alive = ipack[next_width:, 3] > 0
@@ -843,11 +838,8 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
                 o.at[tail_pix].add(fpack[next_width:, 6 + j],
                                    mode="drop")
                 for j, o in enumerate(out))
-        ray_o = tuple(fpack[:next_width, j] for j in range(3))
-        ray_d = tuple(fpack[:next_width, 3 + j] for j in range(3))
-        if color is not None:
-            color = tuple(fpack[:next_width, 6 + j] for j in range(3))
-        atten = tuple(fpack[:next_width, 6 + nc + j] for j in range(3))
+        ray_o, ray_d, color, atten = _unpack_f(fpack[:next_width],
+                                               color is not None)
         seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
                                             jnp.uint32)
         pix = ipack[:next_width, 1]
