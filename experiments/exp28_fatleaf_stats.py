@@ -1083,6 +1083,175 @@ def granularity_sweep():
             f" | glue rows/round ~{m // g}")
 
 
+def walk_tile_occ(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
+    """walk_tile that also tracks per-visit lane NEED: when a node is
+    popped, all 2048 lanes pay its 8 slab tests, but only the rays whose
+    push-time hit mask was true 'needed' the visit. Returns the usual
+    stats plus visit-lane totals (paid vs needed) and the leaf
+    pair-test-lane totals (paid = cnt * tile, needed = cnt * hit.sum())
+    — the efficiency ceiling of any dense per-lane compaction scheme."""
+    n = ox.shape[0]
+    ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    closest = np.full(n, T_MAX, np.float32)
+    mdx, mdy, mdz = dx.sum(), dy.sum(), dz.sum()
+    visits = leaf_visits = 0
+    need_lanes = 0          # rays whose push-time mask wanted the visit
+    leaf_pairs_paid = leaf_pairs_need = 0
+    stack = [(0, np.ones(n, bool))]
+    while stack:
+        nid, need = stack.pop()
+        visits += 1
+        need_lanes += int(need.sum())
+        row = wide[nid]
+        entries = []
+        for cc in range(8):
+            meta = decode_meta(row[16 * cc + 6], 0)
+            if meta is None:
+                continue
+            lo = row[16 * cc:16 * cc + 3]
+            hi = row[16 * cc + 3:16 * cc + 6]
+            l0, h0 = (lo[0] - ox) * ivx, (hi[0] - ox) * ivx
+            l1, h1 = (lo[1] - oy) * ivy, (hi[1] - oy) * ivy
+            l2, h2 = (lo[2] - oz) * ivz, (hi[2] - oz) * ivz
+            t_en = np.maximum(np.minimum(l0, h0),
+                              np.maximum(np.minimum(l1, h1),
+                                         np.minimum(l2, h2)))
+            t_ex = np.minimum(np.maximum(l0, h0),
+                              np.minimum(np.maximum(l1, h1),
+                                         np.maximum(l2, h2)))
+            hit = (t_ex > t_en) & (t_ex > T_MIN) & (t_en < closest)
+            if not hit.any():
+                continue
+            key = ((lo[0] + hi[0]) * mdx + (lo[1] + hi[1]) * mdy
+                   + (lo[2] + hi[2]) * mdz)
+            entries.append((key, meta, hit))
+        for key, meta, hit in sorted(
+                [e for e in entries if e[1][0] == "int"],
+                key=lambda e: -e[0]):
+            stack.append((meta[1], hit))
+        for key, meta, hit in entries:
+            if meta[0] != "leaf":
+                continue
+            leaf_visits += 1
+            cid = meta[1]
+            s0, cnt = starts[cid], counts[cid]
+            leaf_pairs_paid += int(cnt) * n
+            leaf_pairs_need += int(cnt) * int(hit.sum())
+            sel = np.nonzero(hit)[0]
+            tv = tris[s0:s0 + cnt]
+            v0 = tv[:, 0]
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            o = np.stack([ox[sel], oy[sel], oz[sel]], -1)[:, None]
+            d = np.stack([dx[sel], dy[sel], dz[sel]], -1)[:, None]
+            pv = np.cross(d, e2[None])
+            det = (e1[None] * pv).sum(-1)
+            ok = np.abs(det) >= DET_EPS
+            invd = 1.0 / np.where(ok, det, 1.0)
+            s = o - v0[None]
+            u = invd * (s * pv).sum(-1)
+            q = np.cross(s, e1[None])
+            v = invd * (d * q).sum(-1)
+            tt = invd * (e2[None] * q).sum(-1)
+            ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok &= (tt > T_MIN) & (tt < closest[sel, None])
+            tt = np.where(ok, tt, T_MAX).astype(np.float32)
+            closest[sel] = np.minimum(closest[sel], tt.min(axis=1))
+    return dict(visits=visits, leaf_visits=leaf_visits,
+                need_lanes=need_lanes, leaf_pairs_paid=leaf_pairs_paid,
+                leaf_pairs_need=leaf_pairs_need)
+
+
+def occupancy_sweep():
+    """Part 7: divergence-headroom census (the round-4 question). A
+    [16,128] tile pays every visit on all 2048 lanes; this measures what
+    fraction of those lanes NEEDED each visit (push-time slab-hit mask)
+    on cid-sorted bounce-1 tiles and on round-3-depth tiles. The
+    inverse of that fraction is the hard CEILING of any in-kernel dense
+    compaction scheme (per-visit ray lists, pair queues, ...) — if the
+    ceiling is small, round 4 should hunt elsewhere."""
+    verts = flagship_soup()
+    rng = np.random.default_rng(5)
+    from raytracer_tpu.core.camera import default_camera
+
+    cam = default_camera(1280, 720)
+    w, h = 1280, 720
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(xs, ys)
+    u, v = u.ravel(), v.ravel()
+    d = (np.asarray(cam.lower_left_corner)
+         + u[:, None] * np.asarray(cam.horizontal)
+         + v[:, None] * np.asarray(cam.vertical) - np.asarray(cam.origin))
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(np.asarray(cam.origin, np.float32),
+                        d.shape).copy()
+    n_pool = 16 * TILE
+    pick = rng.choice(w * h, n_pool, replace=False)
+    o_p, d_p = o[pick], d[pick]
+    wide, n_wide, starts, counts, tris = build_wide(verts, 8)
+
+    def scatter(o_c, d_c, samples=1):
+        ho, hd, hc = [], [], []
+        for ti in range(o_c.shape[0] // TILE):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            closest, winv, _ = walk_tile(
+                wide, o_c[sl, 0], o_c[sl, 1], o_c[sl, 2],
+                d_c[sl, 0], d_c[sl, 1], d_c[sl, 2], starts, counts, tris)
+            hit = winv >= 0
+            hp = o_c[sl][hit] + closest[hit, None] * d_c[sl][hit]
+            tv = tris[winv[hit]]
+            n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                            1e-30)
+            dd = d_c[sl][hit]
+            n = np.where((n * dd).sum(1, keepdims=True) > 0, -n, n)
+            cid = np.searchsorted(starts, winv[hit], side="right") - 1
+            for _ in range(samples):
+                sph = rng.normal(size=n.shape)
+                sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+                nd = n + sph
+                nd /= np.maximum(np.linalg.norm(nd, axis=1,
+                                                keepdims=True), 1e-30)
+                ho.append(hp)
+                hd.append(nd.astype(np.float32))
+                hc.append(cid.astype(np.int64))
+        return (np.concatenate(ho), np.concatenate(hd),
+                np.concatenate(hc))
+
+    def census(tag, o_c, d_c, cid_c):
+        oct3 = ((d_c[:, 0] > 0).astype(np.int64)
+                | ((d_c[:, 1] > 0).astype(np.int64) << 1)
+                | ((d_c[:, 2] > 0).astype(np.int64) << 2))
+        order = np.argsort((cid_c << 3) | oct3, kind="stable")
+        o_c, d_c = o_c[order], d_c[order]
+        n_tiles = o_c.shape[0] // TILE
+        agg = dict(visits=0, leaf_visits=0, need_lanes=0,
+                   leaf_pairs_paid=0, leaf_pairs_need=0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            st = walk_tile_occ(wide, o_c[sl, 0], o_c[sl, 1], o_c[sl, 2],
+                               d_c[sl, 0], d_c[sl, 1], d_c[sl, 2],
+                               starts, counts, tris)
+            for k in agg:
+                agg[k] += st[k]
+        slab_occ = agg["need_lanes"] / (agg["visits"] * TILE)
+        leaf_occ = agg["leaf_pairs_need"] / max(agg["leaf_pairs_paid"], 1)
+        solo = agg["need_lanes"] / (n_tiles * TILE)
+        log(f"{tag}: tiles {n_tiles}  visits/tile "
+            f"{agg['visits'] / n_tiles:7.1f}  solo visits/ray {solo:6.1f}"
+            f"  slab-lane occ {slab_occ:.3f} (ceiling x{1 / slab_occ:.1f})"
+            f"  leaf-pair occ {leaf_occ:.3f} "
+            f"(ceiling x{1 / max(leaf_occ, 1e-9):.1f})")
+
+    o_b, d_b, cid_b = scatter(o_p, d_p)
+    log(f"bounce-1 pool: {o_b.shape[0]} rays")
+    census("bounce-1 (cid)", o_b, d_b, cid_b)
+    o_3, d_3, cid_3 = scatter(o_b, d_b, samples=4)
+    log(f"round-3 pool: {o_3.shape[0]} rays (x4 scatters)")
+    census("round-3  (cid)", o_3, d_3, cid_3)
+
+
 if __name__ == "__main__":
     part = os.environ.get("EXP28_PART", "1")
     if part == "2":
@@ -1095,5 +1264,7 @@ if __name__ == "__main__":
         granularity_sweep()
     elif part == "6":
         order_sweep()
+    elif part == "7":
+        occupancy_sweep()
     else:
         main()
