@@ -152,7 +152,11 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             bud_r[:] = jnp.full_like(bud_r[:], jnp.int32(1 << 30))
         else:
             bud_r[:] = bud_in[:]
+        # Count rows ride (1, 8, 128) blocks — Mosaic requires sublane
+        # block dims divisible by 8, so the counts live in sublane 0 and
+        # the rest are zeroed here (consumers jnp.sum the whole array).
         rays_r[:] = jnp.zeros_like(rays_r[:])
+        live_r[:] = jnp.zeros_like(live_r[:])
         if key_mode == "cid":
             # Must init OUTSIDE the bounce loop too: a tile whose rays
             # are all dead on entry never runs walk() (bcond gates on
@@ -489,8 +493,8 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             # Per-tile count row: summing over sublanes in-kernel keeps
             # the XLA-side rays/live reductions at [grid, 128] instead of
             # [w] (the cond-loop slice_reduce fusions were ~5 ms/frame).
-            rays_r[:] = rays_r[:] + jnp.sum(act_r[:], axis=0,
-                                            keepdims=True)
+            rays_r[0, 0:1, :] = rays_r[0, 0:1, :] + jnp.sum(
+                act_r[:], axis=0, keepdims=True)
             entered = act_r[:] > 0.5
             walk()
             shade()
@@ -513,7 +517,7 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
             return b + 1
 
         jax.lax.while_loop(bcond, bbody, jnp.int32(0))
-        live_r[:] = jnp.sum(act_r[:], axis=0, keepdims=True)
+        live_r[0, 0:1, :] = jnp.sum(act_r[:], axis=0, keepdims=True)
 
         # Next round's sort key (kernels/wavefront.sort_key with the
         # dead flag at bit 30 so plain i32 argsort still packs dead rays
@@ -646,7 +650,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                              ordered=True, key_mode="pd5"):
     """Packed-state fused round: sf [SF_FIELDS, rows, 128] f32,
     si [>=SI_FIELDS, rows, 128] i32 (layout above; extra i32 rows pass
-    through). Returns (sf', si', rays[grid,128], live[grid,128],
+    through). Returns (sf', si', rays[grid,8,128], live[grid,8,128],
     key[rows,128]) with identical semantics to ``bounce_megakernel``
     (same kernel core); only the ref plumbing differs. ``bounds``: [6]
     f32 scene min/max for the emitted pd5 key."""
@@ -657,7 +661,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                           memory_space=pltpu.VMEM)
     blocki = pl.BlockSpec((si_fields, sub, LANES), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    blockr = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+    blockr = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     blockk = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -668,8 +672,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
     out_shape = (jax.ShapeDtypeStruct((SF_FIELDS, rows, LANES),
                                       jnp.float32),
                  jax.ShapeDtypeStruct((si_fields, rows, LANES), jnp.int32),
-                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32),
-                 jax.ShapeDtypeStruct((grid, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((grid, 8, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((grid, 8, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
@@ -704,7 +708,7 @@ def _bounce_call(npack, clusters, num_nodes, state, bcap, sky, bounds,
     grid = rows // sub
     block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    cblock = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+    cblock = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
@@ -712,7 +716,7 @@ def _bounce_call(npack, clusters, num_nodes, state, bcap, sky, bounds,
         t_min=t_min, t_max=t_max, det_eps=det_eps)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    outc = jax.ShapeDtypeStruct((grid, LANES), jnp.float32)
+    outc = jax.ShapeDtypeStruct((grid, 8, LANES), jnp.float32)
     # advanced state (seed i32, act f32, budget i32 at the end) + per-tile
     # rays/live count rows + next-round key
     out_shape = ((outf,) * (ns - 3)
@@ -750,7 +754,7 @@ def bounce_megakernel12(npack, clusters, num_nodes, state, bcap, sky,
     """No-color-carry fused round: state = 12 blocks [rows,128] (o3 d3
     atten3 seed(i32) act budget(i32)). Returns 15 blocks: advanced state
     (a dying ray's atten becomes its color deposit; budget kills black
-    it out), [grid,128] rays/live count rows, next-round key. Semantics
+    it out), [grid,8,128] rays/live count rows (sublane 0), next-round key. Semantics
     otherwise identical to ``bounce_megakernel``."""
     return _bounce_call(npack, clusters, num_nodes, state, bcap, sky,
                         bounds, sub, fuzz, emis, t_min, t_max, det_eps,
@@ -769,7 +773,7 @@ def bounce_megakernel(npack, clusters, num_nodes, state, bcap, sky,
     seed(i32) act(f32) budget(i32, per-ray bounces-left — pass a huge
     constant to gate on ``bcap`` alone). Returns 18 blocks: advanced
     state (budget decremented per iteration a ray entered alive, act
-    zeroed at 0), [grid,128] rays-traced and final-live count rows
+    zeroed at 0), [grid,8,128] rays-traced and final-live count rows (sublane 0)
     (summed over sublanes in-kernel so the callers' reductions stay
     tiny), and the next round's sort key [rows,128] i32 (``bounds``:
     [6] f32 scene min/max). t_min/t_max/det_eps come from the caller's
