@@ -487,6 +487,7 @@ def tail_merge_active(scene: FastScene, cfg: RenderConfig) -> bool:
     """True when render_linear_fast would route bounces through the
     packed wavefront engine (default pallas b0 + wave + fused on a
     wide-BVH scene) — the only path that can hand off band tails."""
+    from raytracer_tpu.kernels.wavefront import WAVE_DEFAULT
     default_b0 = "pallas" if jax.default_backend() == "tpu" else "mega"
     bounce_default = "wave" if jax.default_backend() == "tpu" else "mega"
     return (getattr(scene, "nodes4", None) is not None
@@ -494,7 +495,7 @@ def tail_merge_active(scene: FastScene, cfg: RenderConfig) -> bool:
             and cfg.shading != "fixed_light"
             and _os.environ.get("RAYTPU_B0", default_b0) == "pallas"
             and _os.environ.get("RAYTPU_BOUNCE", bounce_default) == "wave"
-            and _os.environ.get("RAYTPU_WAVE", "fused") != "split")
+            and _os.environ.get("RAYTPU_WAVE", WAVE_DEFAULT) != "split")
 
 
 def render_linear_fast(scene: FastScene, cam: CameraUniforms,
@@ -668,12 +669,14 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                 # the day the kernel gains occupancy compaction.
                 from raytracer_tpu.kernels.pallas_mega import \
                     bounce_megakernel
-                from raytracer_tpu.kernels.wavefront import sort_key
+                from raytracer_tpu.kernels.wavefront import (KEY_DEFAULT,
+                                                             sort_key)
 
                 smin = tuple(scene.nodes8[0, ax] for ax in range(3))
                 smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
                 key = sort_key(ray_o, ray_d, alive, smin, smax,
-                               _os.environ.get("RAYTPU_SORT_KEY", "pd5"))
+                               _os.environ.get("RAYTPU_SORT_KEY",
+                                               KEY_DEFAULT))
                 order = jnp.argsort(key)
                 tk = lambda c: jnp.take(c, order)
                 ray_o = tuple(tk(c) for c in ray_o)

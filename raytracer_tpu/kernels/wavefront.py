@@ -77,6 +77,14 @@ TAIL_BCAP = max(1, int(os.environ.get("RAYTPU_TAIL_BCAP", "1")))
 # comparator swaps per visit buy no pruning. 0 = always ordered.
 ORDER_MINW = int(os.environ.get("RAYTPU_ORDER_MINW", "0"))
 
+# Measured defaults (r3 TPU sweep, experiments/r3_sweep.log): the
+# no-color carry (fused12) won 6.57 vs 6.00 FPS at 720p flagship and the
+# winner-cluster sort key (cid) added ~0.3%+ on top (6.59); pd5/om9 and
+# the packed-state glue all measured slower. Env knobs keep every loser
+# available for A/B.
+WAVE_DEFAULT = "fused12"
+KEY_DEFAULT = "cid"
+
 # Wider tiles for deep rounds: an incoherent tile union-walks ~the whole
 # tree regardless of tile size, so doubling the tile halves the per-ray
 # share of the per-visit scalar cost. DEEP_SUB = sublanes to use for
@@ -227,9 +235,10 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
 
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
-    key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
+    key_mode = os.environ.get("RAYTPU_SORT_KEY", KEY_DEFAULT)
     # Fused trace+shade rounds need the wide-BVH table. RAYTPU_WAVE:
-    #   fused (default)  — flat-SoA fused rounds: per-round glue is a
+    #   fused12 (default) — fused rounds with the no-color carry (below),
+    #   fused            — flat-SoA fused rounds: per-round glue is a
     #                      stack + row-gather + per-field unpack (~38 ms
     #                      of the 130 ms 720p frame),
     #   fused_packed     — A/B: state as two packed arrays with one
@@ -239,7 +248,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
     #                      of fusions/frame, traced r3) even though the
     #                      packed kernel itself is at par,
     #   split            — pallas-traverse + XLA-shade rounds.
-    wave_env = os.environ.get("RAYTPU_WAVE", "fused")
+    wave_env = os.environ.get("RAYTPU_WAVE", WAVE_DEFAULT)
     has4 = getattr(scene, "nodes4", None) is not None
     if has4 and wave_env == "fused_packed":
         return _wavefront_packed(scene, ray_o, ray_d, color, atten, seed,
@@ -683,7 +692,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
     p = sf.shape[1]
     smin = tuple(scene.nodes8[0, ax] for ax in range(3))
     smax = tuple(scene.nodes8[0, 3 + ax] for ax in range(3))
-    key_mode = os.environ.get("RAYTPU_SORT_KEY", "pd5")
+    key_mode = os.environ.get("RAYTPU_SORT_KEY", KEY_DEFAULT)
     fused_interpret = (jax.default_backend() != "tpu"
                        if interpret is None else interpret)
     num4 = jnp.asarray(scene.num_nodes4, jnp.int32).reshape(1)
