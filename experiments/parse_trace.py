@@ -70,6 +70,20 @@ def main():
             :top_n]:
         print(f"{ms:9.2f} ms  x{cnt:5d}  {name}")
 
+    # --exact: also rank individual op instances (exact hlo names, numeric
+    # suffix kept) so an expensive fusion can be pinned to its HLO.
+    if "--exact" in sys.argv:
+        exact = defaultdict(lambda: [0.0, 0])
+        for e in events:
+            if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+                continue
+            exact[e.get("name", "?")][0] += e.get("dur", 0) / 1e3
+            exact[e.get("name", "?")][1] += 1
+        print("# exact op names:")
+        for name, (ms, cnt) in sorted(exact.items(),
+                                      key=lambda kv: -kv[1][0])[:top_n]:
+            print(f"{ms:9.2f} ms  x{cnt:5d}  {name}")
+
 
 if __name__ == "__main__":
     main()

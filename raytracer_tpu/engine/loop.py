@@ -24,7 +24,9 @@ timeout (``VulkanEngine.java:142-150``).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import os
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -103,15 +105,20 @@ class RenderEngine:
         # (VulkanApp.java:171,194-235) at resolutions where a full frame
         # is slower than the tick.
         if ladder_frames is None:
-            import os
-
             ladder_frames = int(os.environ.get("RAYTPU_LADDER", "0"))
         self._ladder_frames = int(ladder_frames)
         self._preview: Optional[Renderer] = None
+        # RAYTPU_LADDER_SCALE: preview downscale per axis (default 2 =
+        # quarter-area). 4 renders 1/16 of the rays — at 720p that is a
+        # ~10 ms preview dispatch, trading blockier motion frames for
+        # keypress latency.
+        scale = max(2, int(os.environ.get("RAYTPU_LADDER_SCALE", "2")))
         if (self._ladder_frames > 0
-                and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0):
-            pcfg = dataclasses.replace(self.cfg, width=self.cfg.width // 2,
-                                       height=self.cfg.height // 2)
+                and self.cfg.width % (8 * scale) == 0
+                and self.cfg.height % (8 * scale) == 0):
+            pcfg = dataclasses.replace(self.cfg,
+                                       width=self.cfg.width // scale,
+                                       height=self.cfg.height // scale)
             self._preview = Renderer(pcfg)
         # On-device LBVH rebuild (jitted transform+build; geometry stays in
         # HBM) — packet kernel only; wavefront scenes use the host builder.
@@ -214,9 +221,6 @@ class RenderEngine:
 
     def _main_loop(self) -> None:
         _log_vrt.info("render thread started")
-        import collections
-        import os
-
         scene = None
         cam = None
         accum = None
@@ -228,7 +232,12 @@ class RenderEngine:
         # host copy (never a device wait) — replacing the reference's
         # submit + blocking fence-wait + copy per frame
         # (VulkanEngine.java:410-426). Depth 1 = the old double buffer.
-        depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", "2")))
+        # Interactive (ladder) sessions default to depth 1: readback still
+        # overlaps the next dispatch, but at most one full-res frame can sit
+        # on the device queue ahead of a keypress preview. Benches and
+        # headless runs keep depth 2 for max device occupancy.
+        default_depth = "1" if self._preview is not None else "2"
+        depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", default_depth)))
         pending = collections.deque()  # (image, stats, t_submit, preview)
         try:
             while self._running:
@@ -245,6 +254,15 @@ class RenderEngine:
                 new_cam, cam_fresh = self._camera_box.take()
                 if cam_fresh:
                     cam = new_cam
+                    # Latency over throughput while interacting: DROP
+                    # every in-flight (stale-camera) frame. Publishing
+                    # them would cost a device wait + a full-image
+                    # readback each before the first new-camera frame
+                    # can even dispatch (exp26 measured that gating at
+                    # ~1 s keypress-to-frame at 720p under depth-2
+                    # pipelining); dropping loses nothing the UI needs —
+                    # it already showed this pose.
+                    pending.clear()
 
                 if scene is None or cam is None:
                     time.sleep(0.016)  # idle until scene+camera arrive
@@ -277,7 +295,12 @@ class RenderEngine:
                             accum, image, stats = self.renderer.render(
                                 scene, cam_r, accum)
                     pending.append((image, stats, t0, preview))
-                    while len(pending) > depth:
+                    # Preview (ladder) frames publish immediately: they are
+                    # tiny (quarter-area) and exist only to minimize
+                    # keypress-to-frame latency, so deep pipelining is the
+                    # wrong trade for them.
+                    limit = 0 if preview else depth
+                    while len(pending) > limit:
                         self._publish(*pending.popleft())
                 except Exception:
                     _log_vrt.exception("render step failed; continuing")

@@ -642,7 +642,8 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
 
             cx, cy, cz, rays = wavefront_bounces(
                 scene, ray_o, ray_d, (zero, zero, zero), (one, one, one),
-                seed, alive, sky_on, cfg, start_bounce=0, pix=pix_local)
+                seed, alive, sky_on, cfg, start_bounce=0, pix=pix_local,
+                dense_pix=True)
             color = tuple(c[:p] for c in (cx, cy, cz))
             stats = {"rays_traced": rays, "bounce_iters": jnp.int32(0)}
             image = jnp.stack([c.reshape(h, w) for c in color], axis=-1)
@@ -723,7 +724,7 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                     cx, cy, cz, rays, (tsf, tsi) = wavefront_bounces(
                         scene, ray_o, ray_d, color, atten, seed, alive,
                         sky_on, cfg, start_bounce=1, pix=pix_local,
-                        handoff_width=tail_handoff)
+                        handoff_width=tail_handoff, dense_pix=True)
                     # Survivor pixel ids go global for the cross-band
                     # merge; the pad sentinel (p) maps to gh*w so merged
                     # deposits still drop it.
@@ -739,7 +740,8 @@ def render_linear_fast(scene: FastScene, cam: CameraUniforms,
                     return image, stats, survivors
                 cx, cy, cz, rays = wavefront_bounces(
                     scene, ray_o, ray_d, color, atten, seed, alive,
-                    sky_on, cfg, start_bounce=1, pix=pix_local)
+                    sky_on, cfg, start_bounce=1, pix=pix_local,
+                    dense_pix=True)
             else:
                 cx, cy, cz, rays = megakernel_bounces(
                     scene, ray_o, ray_d, color, atten, seed, alive,

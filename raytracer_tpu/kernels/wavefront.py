@@ -132,6 +132,89 @@ def _unpack_f(fpack, color_carried):
     return ray_o, ray_d, color, atten
 
 
+def _pack_sorted_one(order, f_fields, i_cols):
+    """ONE [w, nf+ni] i32 row-gather instead of the f/i pair: the r3
+    device trace showed gather cost is per-ROW, not per-byte (s32[w,3]
+    1.33 ms ~= f32[w,9] 1.39 ms at w=307200), so merging halves the
+    per-round gather glue. Assembled in i32 — f32 bits must never ride
+    f32 concat/elementwise fusions on TPU (CLAUDE.md denormal/NaN rule);
+    bitcasts and gathers preserve bits."""
+    ib = jax.lax.bitcast_convert_type
+    pack = jnp.stack([ib(c, jnp.int32) for c in f_fields] + list(i_cols),
+                     axis=-1)
+    return jnp.take(pack, order, axis=0)
+
+
+def _unpack_one(allpack, color_carried):
+    """(ray_o, ray_d, color|None, atten) f32 views of an i32 merged pack
+    (columns 0..nf-1); int columns stay the caller's business."""
+    ib = jax.lax.bitcast_convert_type
+    f = lambda j: ib(allpack[:, j], jnp.float32)
+    nc = 3 if color_carried else 0
+    ray_o = (f(0), f(1), f(2))
+    ray_d = (f(3), f(4), f(5))
+    color = (f(6), f(7), f(8)) if color_carried else None
+    atten = (f(6 + nc), f(7 + nc), f(8 + nc))
+    return ray_o, ray_d, color, atten
+
+
+# Deposits: how each round's finished colors reach the per-band output.
+#   ch    — three 1-D f32[n] scatter-adds per level (legacy default).
+#   rows  — ONE [n,3] row scatter-add per level. Plausible-but-WRONG,
+#           kept as a measured A/B: the r3 trace showed 1-D scatter-adds
+#           at 1.33 ms per channel (row-rate-limited, so rows "should"
+#           be 3x cheaper), but the frame A/B regressed ~0.8 FPS under
+#           both glue modes — the TPU's sparse path handles 1-D scatters
+#           natively (and overlaps them); the [n,3] row scatter does not.
+#   grave — no scatters at all: every level appends [n,4] i32
+#           (pix, rgb-bits) rows to a graveyard; ONE argsort(pix) + row
+#           gather per band emits colors already in pixel order. Valid
+#           only under the dense_pix contract (each pixel id < P occurs
+#           at most once per band — true for 1-spp band renders).
+# Read at trace time (like RAYTPU_GLUE) so tests/benches can A/B without
+# re-importing; a caller's jit cache must be cold for a change to bite.
+def _deposit_mode() -> str:
+    return os.environ.get("RAYTPU_DEPOSIT", "ch")
+
+
+def _dep_init(n):
+    if _deposit_mode() == "rows":
+        return jnp.zeros((n, 3), jnp.float32)
+    return (jnp.zeros((n,), jnp.float32),) * 3
+
+
+def _dep_add(out, idx, channels):
+    if _deposit_mode() == "rows":
+        return out.at[idx].add(jnp.stack(list(channels), axis=-1),
+                               mode="drop")
+    return tuple(o.at[idx].add(c, mode="drop")
+                 for o, c in zip(out, channels))
+
+
+def _dep_channels(out):
+    if _deposit_mode() == "rows":
+        return out[:, 0], out[:, 1], out[:, 2]
+    return out
+
+
+def _grave_entry(pix, dep):
+    """[n,4] i32 graveyard rows: (pixel id, r/g/b color bits). i32
+    assembly — f32 bits never ride f32 concat fusions (CLAUDE.md)."""
+    ib = jax.lax.bitcast_convert_type
+    return jnp.stack([pix] + [ib(d, jnp.int32) for d in dep], axis=-1)
+
+
+def _grave_colors(grave):
+    """One argsort(pix) + row gather turns the per-level graveyard into
+    colors in PIXEL order (dense_pix contract: each pix < P appears at
+    most once; pad ids repeat but sort past every real pixel)."""
+    ib = jax.lax.bitcast_convert_type
+    gp = grave[0] if len(grave) == 1 else jnp.concatenate(grave, axis=0)
+    g = jnp.take(gp, jnp.argsort(gp[:, 0]), axis=0)
+    return (ib(g[:, 1], jnp.float32), ib(g[:, 2], jnp.float32),
+            ib(g[:, 3], jnp.float32))
+
+
 def sort_key(ray_o, ray_d, alive, smin, smax, mode: str = "pd5",
              dead_bit: int = 31):
     """u32 round key; dead rays get the top bit so they sort to the tail.
@@ -220,12 +303,21 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                       alive, sky_on, cfg: RenderConfig,
                       start_bounce: int = 1, pix=None,
                       interpret: bool | None = None,
-                      handoff_width: int | None = None):
+                      handoff_width: int | None = None,
+                      dense_pix: bool = False):
     """Sorted bounce rounds. State is flat [P] SoA (P multiple of BBLOCK).
 
     Semantics identical to packet.megakernel_bounces: every ray deposits
     its color at ``pix`` exactly once; returns (cx, cy, cz, rays_traced)
     with colors scatter-summed into a [P] buffer by pixel id.
+
+    ``dense_pix``: promise that ``pix`` restricted to indices < P covers
+    each value at most once (band renders at 1 spp: pix is a pixel
+    permutation, pads share one id). Deposits then skip scatter-adds
+    entirely — every shrink's dead tail is appended to a graveyard and
+    ONE argsort(pix) + row gather per band emits the colors already in
+    pixel order (the r3 trace showed the per-level scatter-add chains at
+    ~15 ms/frame, the largest glue item after the shrink rework).
     """
     p = ray_o[0].shape[0]
     if p % BBLOCK:
@@ -280,7 +372,12 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                       for a, c in zip(atten, color))
         color = None
 
-    out = (jnp.zeros((p,), jnp.float32),) * 3
+    # Graveyard deposits only under the caller's dense-pix promise AND
+    # the opt-in knob — the rows-deposit regression taught us never to
+    # ship an unmeasured deposit-path change without a frame-level A/B.
+    dense_pix = dense_pix and _deposit_mode() == "grave"
+    grave = [] if dense_pix else None
+    out = None if dense_pix else _dep_init(p)
     rays_traced = jnp.float32(0)
     bounce = jnp.int32(start_bounce)
 
@@ -306,9 +403,7 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         inside the fused kernel this round (traced scalar, >= 1;
         None -> 1)."""
         order = jnp.argsort(key)
-        glue = os.environ.get("RAYTPU_GLUE", "pack")
-        if color is None:
-            glue = "pack"  # no-color carry supports the default glue
+        glue = os.environ.get("RAYTPU_GLUE", "one")
         if glue == "perfield":
             # A/B: fifteen 1-D gathers instead of stack + row-gather +
             # per-field unpack (the pmega-path glue style). Measured
@@ -323,26 +418,20 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             pix = tk(pix)
             alive = tk(alive)
         elif glue == "one":
-            # A/B: ONE [w,15] gather (60-byte rows) instead of separate
-            # [w,12] + [w,3]. Assembled entirely in i32 — f32 bits must
-            # never ride f32 concat/elementwise fusions on TPU (CLAUDE.md
-            # denormal/NaN canonicalization rule); bitcasts + gathers
-            # preserve bits.
+            # Default (r3): ONE [w,12|15] i32 row-gather instead of the
+            # separate f32[w,9|12] + s32[w,3] pair (_pack_sorted_one).
+            # Flagship A/B: 7.63 vs 7.36 FPS over glue=pack (both with
+            # the merged shrink + ch deposits).
             ib = jax.lax.bitcast_convert_type
-            allpack = jnp.stack(
-                [ib(c, jnp.int32)
-                 for c in (*ray_o, *ray_d, *color, *atten)]
-                + [ib(seed, jnp.int32), pix, alive.astype(jnp.int32)],
-                axis=-1)
-            allpack = jnp.take(allpack, order, axis=0)
-            f = lambda j: ib(allpack[:, j], jnp.float32)
-            ray_o = (f(0), f(1), f(2))
-            ray_d = (f(3), f(4), f(5))
-            color = (f(6), f(7), f(8))
-            atten = (f(9), f(10), f(11))
-            seed = ib(allpack[:, 12], jnp.uint32)
-            pix = allpack[:, 13]
-            alive = allpack[:, 14] > 0
+            nc = 3 if color is not None else 0
+            allpack = _pack_sorted_one(
+                order, _fields_of(ray_o, ray_d, color, atten),
+                [ib(seed, jnp.int32), pix, alive.astype(jnp.int32)])
+            ray_o, ray_d, color, atten = _unpack_one(allpack,
+                                                     color is not None)
+            seed = ib(allpack[:, 9 + nc], jnp.uint32)
+            pix = allpack[:, 10 + nc]
+            alive = allpack[:, 11 + nc] > 0
         elif glue == "packT":
             # A/B: same row-gather, but ONE explicit transpose after it so
             # the per-field unpacks are contiguous major-dim row slices
@@ -444,7 +533,15 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
                                       (width,)).astype(jnp.int32)
             si = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32),
                             pix, budget], axis=0)
-            return out[0], out[1], out[2], rays_traced, (sf, si)
+            if dense_pix:
+                # Survivors deposit later via the merged tail; a zero
+                # placeholder keeps the graveyard one-row-per-pixel.
+                z = jnp.zeros_like(pix)
+                grave.append(jnp.stack([pix, z, z, z], axis=-1))
+                c0, c1, c2 = _grave_colors(grave)
+            else:
+                c0, c1, c2 = _dep_channels(out)
+            return c0, c1, c2, rays_traced, (sf, si)
         is_last = li == len(widths) - 1
         next_width = None if is_last else widths[li + 1]
         lvl_ordered = ORDER_MINW == 0 or width >= ORDER_MINW
@@ -482,20 +579,28 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
             # in the legacy layout too).
             dep = (color if color is not None else
                    tuple(jnp.where(alive, 0.0, a) for a in atten))
-            out = tuple(o.at[pix].add(c, mode="drop")
-                        for o, c in zip(out, dep))
+            if dense_pix:
+                grave.append(_grave_entry(pix, dep))
+            else:
+                out = _dep_add(out, pix, dep)
             break
 
         # Shrink: one more sort packs live rays into the prefix (the while
         # cond guaranteed live <= next_width). The dead tail deposits and
-        # is dropped. The carried key already describes the current
-        # state, so no key recompute here.
+        # is dropped. The carried key rides as the last pack column — a
+        # separate 1-D jnp.take(key, order) was the single most expensive
+        # glue fusion in the r3 trace (2.2 ms at w=307200, slower than
+        # the 9-column row gather), and folding it into the row gather
+        # is free.
+        ib = jax.lax.bitcast_convert_type
+        nc = 3 if color is not None else 0
         order = jnp.argsort(key)
-        key = jnp.take(key, order)[:next_width]
-        fpack, ipack = _pack_sorted(
+        allpack = _pack_sorted_one(
             order, _fields_of(ray_o, ray_d, color, atten),
-            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix,
-             alive.astype(jnp.int32)])
+            [ib(seed, jnp.int32), pix, alive.astype(jnp.int32),
+             key if key.dtype == jnp.int32 else ib(key, jnp.int32)])
+        kcol = allpack[:next_width, 12 + nc]
+        key = kcol if kernel_key else ib(kcol, jnp.uint32)
 
         # The tail is final either way: if rounds remain, the while cond
         # guaranteed live <= next_width so every tail ray is dead; if the
@@ -503,29 +608,29 @@ def wavefront_bounces(scene: FastScene, ray_o, ray_d, color, atten, seed,
         # too (truncation adds nothing — the reference's kill-to-black).
         # (No-color carry: a dead tail ray's deposit is its atten column,
         # i.e. pack column 6+j either way; alive tail rays deposit black.)
-        tail_pix = ipack[next_width:, 1]
+        tail_pix = allpack[next_width:, 10 + nc]
+        dep = tuple(ib(allpack[next_width:, 6 + j], jnp.float32)
+                    for j in range(3))
         if color is None:
-            tail_alive = ipack[next_width:, 2] > 0
-            out = tuple(
-                o.at[tail_pix].add(
-                    jnp.where(tail_alive, 0.0,
-                              fpack[next_width:, 6 + j]), mode="drop")
-                for j, o in enumerate(out))
+            tail_alive = allpack[next_width:, 11 + nc] > 0
+            dep = tuple(jnp.where(tail_alive, 0.0, d) for d in dep)
+        if dense_pix:
+            grave.append(_grave_entry(tail_pix, dep))
         else:
-            out = tuple(
-                o.at[tail_pix].add(fpack[next_width:, 6 + j],
-                                   mode="drop")
-                for j, o in enumerate(out))
+            out = _dep_add(out, tail_pix, dep)
 
-        ray_o, ray_d, color, atten = _unpack_f(fpack[:next_width],
-                                               color is not None)
-        seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
-                                            jnp.uint32)
-        pix = ipack[:next_width, 1]
-        alive = ipack[:next_width, 2] > 0
+        ray_o, ray_d, color, atten = _unpack_one(allpack[:next_width],
+                                                 color is not None)
+        seed = ib(allpack[:next_width, 9 + nc], jnp.uint32)
+        pix = allpack[:next_width, 10 + nc]
+        alive = allpack[:next_width, 11 + nc] > 0
         state = (ray_o, ray_d, color, atten, seed, alive, pix)
 
-    return out[0], out[1], out[2], rays_traced
+    if dense_pix:
+        c0, c1, c2 = _grave_colors(grave)
+    else:
+        c0, c1, c2 = _dep_channels(out)
+    return c0, c1, c2, rays_traced
 
 
 def _wavefront_packed(scene, ray_o, ray_d, color, atten, seed, alive,
@@ -742,15 +847,17 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         (``cap`` > 1, RAYTPU_TAIL_BCAP) stay bit-identical to 1-bounce
         rounds."""
         order = jnp.argsort(key)
-        fpack, ipack = _pack_sorted(
+        ib = jax.lax.bitcast_convert_type
+        ncc = 3 if color is not None else 0
+        allpack = _pack_sorted_one(
             order, _fields_of(ray_o, ray_d, color, atten),
-            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
-             alive.astype(jnp.int32)])
-        ray_o, ray_d, color, atten = _unpack_f(fpack, color is not None)
-        seed = jax.lax.bitcast_convert_type(ipack[:, 0], jnp.uint32)
-        pix = ipack[:, 1]
-        budget = ipack[:, 2]
-        entering = ipack[:, 3] > 0
+            [ib(seed, jnp.int32), pix, budget, alive.astype(jnp.int32)])
+        ray_o, ray_d, color, atten = _unpack_one(allpack,
+                                                 color is not None)
+        seed = ib(allpack[:, 9 + ncc], jnp.uint32)
+        pix = allpack[:, 10 + ncc]
+        budget = allpack[:, 11 + ncc]
+        entering = allpack[:, 12 + ncc] > 0
 
         nc = 0 if color is None else 3
         w = ray_o[0].shape[0]
@@ -788,7 +895,7 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
         return (ray_o, ray_d, color, atten, seed, alive, pix, budget,
                 rays, live, key)
 
-    out = (jnp.zeros((out_size,), jnp.float32),) * 3
+    out = _dep_init(out_size)
     rays_traced = jnp.float32(0)
     widths = _round_widths(p)
     state = (ray_o, ray_d, color, atten, seed, alive, pix, budget)
@@ -821,39 +928,35 @@ def wavefront_tail(scene, sf, si, sky_on, cfg, out_size,
             # deposit — they end at the bounce cap = kill-to-black.
             dep = (color if color is not None else
                    tuple(jnp.where(alive, 0.0, a) for a in atten))
-            out = tuple(o.at[pix].add(c, mode="drop")
-                        for o, c in zip(out, dep))
+            out = _dep_add(out, pix, dep)
             break
 
         # Shrink: sort packs live rays into the prefix; the dead tail
-        # deposits and is dropped. The carried key already describes the
-        # current state.
+        # deposits and is dropped. The carried key rides as the last
+        # pack column (see wavefront_bounces shrink).
+        ib = jax.lax.bitcast_convert_type
+        ncc = 3 if color is not None else 0
         order = jnp.argsort(key)
-        key = jnp.take(key, order)[:next_width]
-        fpack, ipack = _pack_sorted(
+        allpack = _pack_sorted_one(
             order, _fields_of(ray_o, ray_d, color, atten),
-            [jax.lax.bitcast_convert_type(seed, jnp.int32), pix, budget,
-             alive.astype(jnp.int32)])
-        tail_pix = ipack[next_width:, 1]
+            [ib(seed, jnp.int32), pix, budget, alive.astype(jnp.int32),
+             key if key.dtype == jnp.int32 else ib(key, jnp.int32)])
+        kcol = allpack[:next_width, 13 + ncc]
+        key = kcol if kernel_key else ib(kcol, jnp.uint32)
+        tail_pix = allpack[next_width:, 10 + ncc]
+        dep = tuple(ib(allpack[next_width:, 6 + j], jnp.float32)
+                    for j in range(3))
         if color is None:
-            tail_alive = ipack[next_width:, 3] > 0
-            out = tuple(
-                o.at[tail_pix].add(
-                    jnp.where(tail_alive, 0.0,
-                              fpack[next_width:, 6 + j]), mode="drop")
-                for j, o in enumerate(out))
-        else:
-            out = tuple(
-                o.at[tail_pix].add(fpack[next_width:, 6 + j],
-                                   mode="drop")
-                for j, o in enumerate(out))
-        ray_o, ray_d, color, atten = _unpack_f(fpack[:next_width],
-                                               color is not None)
-        seed = jax.lax.bitcast_convert_type(ipack[:next_width, 0],
-                                            jnp.uint32)
-        pix = ipack[:next_width, 1]
-        budget = ipack[:next_width, 2]
-        alive = ipack[:next_width, 3] > 0
+            tail_alive = allpack[next_width:, 12 + ncc] > 0
+            dep = tuple(jnp.where(tail_alive, 0.0, d) for d in dep)
+        out = _dep_add(out, tail_pix, dep)
+        ray_o, ray_d, color, atten = _unpack_one(allpack[:next_width],
+                                                 color is not None)
+        seed = ib(allpack[:next_width, 9 + ncc], jnp.uint32)
+        pix = allpack[:next_width, 10 + ncc]
+        budget = allpack[:next_width, 11 + ncc]
+        alive = allpack[:next_width, 12 + ncc] > 0
         state = (ray_o, ray_d, color, atten, seed, alive, pix, budget)
 
-    return out[0], out[1], out[2], rays_traced
+    c0, c1, c2 = _dep_channels(out)
+    return c0, c1, c2, rays_traced

@@ -137,6 +137,47 @@ def test_packed_rounds_match_flat(small_scene, monkeypatch):
     assert rays_got == rays_ref
 
 
+@pytest.mark.parametrize("mode", ["rows", "grave"])
+def test_deposit_modes_match_default(small_scene, monkeypatch, mode):
+    """RAYTPU_DEPOSIT A/Bs must be BIT-identical to the default channel
+    scatter-adds. ``rows`` packs the three scatters into one [n,3] row
+    scatter (same adds, same order). ``grave`` removes scatters entirely
+    under the dense-pix promise: every (pix, rgb) deposit is appended to
+    a graveyard and one argsort(pix) + row gather emits colors in pixel
+    order — each pixel deposits exactly once, so gather == scatter-add
+    of a single contribution. 256x128 -> two width levels exercises the
+    shrink-tail, final-level, and pad-sentinel graveyard rows."""
+    ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128, bounces=5)
+    monkeypatch.setenv("RAYTPU_DEPOSIT", mode)
+    got, rays_got = _render(small_scene, "pallas", "wave", monkeypatch,
+                            w=256, h=128, bounces=5)
+    np.testing.assert_array_equal(got, ref)
+    assert rays_got == rays_ref
+
+
+def test_tail_merge_grave_matches(small_scene, monkeypatch):
+    """Graveyard deposits through the cross-band tail-merge path: band
+    survivors leave a zero placeholder row in the graveyard and deposit
+    later via the merged tail — the image must stay bit-identical."""
+    from raytracer_tpu.engine.renderer import Renderer
+
+    monkeypatch.setenv("RAYTPU_B0", "pallas")
+    monkeypatch.setenv("RAYTPU_BOUNCE", "wave")
+    cfg = RenderConfig(width=128, height=256, max_bounces=5,
+                       kernel="packet", band_rays=16384)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=cfg.width / cfg.height)
+    monkeypatch.setenv("RAYTPU_TAIL_MERGE", "1")
+    acc_ref, img_ref, st_ref = Renderer(cfg).render(small_scene,
+                                                    cam.uniforms())
+    monkeypatch.setenv("RAYTPU_DEPOSIT", "grave")
+    acc_g, img_g, st_g = Renderer(cfg).render(small_scene, cam.uniforms())
+    np.testing.assert_array_equal(np.asarray(acc_g), np.asarray(acc_ref))
+    np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_ref))
+    assert float(st_g["rays_traced"]) == float(st_ref["rays_traced"])
+
+
 def test_tail_merge_matches_unmerged(small_scene, monkeypatch):
     """Cross-band deep-round merge (renderer + wavefront_tail): band
     tails hand off at a fixed width, merge with per-ray bounce budgets,
