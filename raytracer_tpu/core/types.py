@@ -166,10 +166,11 @@ class RenderConfig:
     # Frames render as horizontal bands of at most ~this many rays via one
     # lax.scan (bounded peak memory; band shapes stay in the
     # backend-validated zone). Bigger bands amortize the per-band
-    # wavefront round costs; 393216 puts 720p at 3 bands of 307200 rays
+    # wavefront round costs; 414720 puts 720p at 3 bands of 307200 rays
     # (measured fastest; single-band 921600 also works but is ~1.5%
-    # slower). 0 disables banding.
-    band_rays: int = 393216
+    # slower) and 1080p at 5 bands of 414720 (r3c sweep: 3.36 vs 2.52 FPS
+    # over 9 bands of 230400). 0 disables banding.
+    band_rays: int = 414720
     # Fuse accumulate+exposure+gamma+u8 as a Pallas kernel (interpret mode
     # off-TPU). Plain XLA ops otherwise.
     pallas_tonemap: bool = False

@@ -159,6 +159,14 @@ def _unpack_one(allpack, color_carried):
 
 
 # Deposits: how each round's finished colors reach the per-band output.
+#   grave — DEFAULT (r3b A/B: flagship 8.58 vs 7.74 FPS, two_humans 4.79
+#           vs 4.45, car_1080p 2.75 vs 2.67): no scatters at all — every
+#           level appends [n,4] i32 (pix, rgb-bits) rows to a graveyard;
+#           ONE argsort(pix) + row gather per band emits colors already
+#           in pixel order. Valid only under the dense_pix contract
+#           (each pixel id < P occurs at most once per band — true for
+#           1-spp band renders); callers that can't promise it (the
+#           merged cross-band tail, pmega) fall back to ch scatter-adds.
 #   ch    — three 1-D f32[n] scatter-adds per level (legacy default).
 #   rows  — ONE [n,3] row scatter-add per level. Plausible-but-WRONG,
 #           kept as a measured A/B: the r3 trace showed 1-D scatter-adds
@@ -166,15 +174,10 @@ def _unpack_one(allpack, color_carried):
 #           be 3x cheaper), but the frame A/B regressed ~0.8 FPS under
 #           both glue modes — the TPU's sparse path handles 1-D scatters
 #           natively (and overlaps them); the [n,3] row scatter does not.
-#   grave — no scatters at all: every level appends [n,4] i32
-#           (pix, rgb-bits) rows to a graveyard; ONE argsort(pix) + row
-#           gather per band emits colors already in pixel order. Valid
-#           only under the dense_pix contract (each pixel id < P occurs
-#           at most once per band — true for 1-spp band renders).
 # Read at trace time (like RAYTPU_GLUE) so tests/benches can A/B without
 # re-importing; a caller's jit cache must be cold for a change to bite.
 def _deposit_mode() -> str:
-    return os.environ.get("RAYTPU_DEPOSIT", "ch")
+    return os.environ.get("RAYTPU_DEPOSIT", "grave")
 
 
 def _dep_init(n):

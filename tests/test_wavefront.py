@@ -139,14 +139,16 @@ def test_packed_rounds_match_flat(small_scene, monkeypatch):
 
 @pytest.mark.parametrize("mode", ["rows", "grave"])
 def test_deposit_modes_match_default(small_scene, monkeypatch, mode):
-    """RAYTPU_DEPOSIT A/Bs must be BIT-identical to the default channel
-    scatter-adds. ``rows`` packs the three scatters into one [n,3] row
-    scatter (same adds, same order). ``grave`` removes scatters entirely
-    under the dense-pix promise: every (pix, rgb) deposit is appended to
-    a graveyard and one argsort(pix) + row gather emits colors in pixel
+    """RAYTPU_DEPOSIT modes must be BIT-identical to the ch channel
+    scatter-adds (pinned explicitly — grave is the production default).
+    ``rows`` packs the three scatters into one [n,3] row scatter (same
+    adds, same order). ``grave`` removes scatters entirely under the
+    dense-pix promise: every (pix, rgb) deposit is appended to a
+    graveyard and one argsort(pix) + row gather emits colors in pixel
     order — each pixel deposits exactly once, so gather == scatter-add
     of a single contribution. 256x128 -> two width levels exercises the
     shrink-tail, final-level, and pad-sentinel graveyard rows."""
+    monkeypatch.setenv("RAYTPU_DEPOSIT", "ch")
     ref, rays_ref = _render(small_scene, "pallas", "wave", monkeypatch,
                             w=256, h=128, bounces=5)
     monkeypatch.setenv("RAYTPU_DEPOSIT", mode)
@@ -169,6 +171,7 @@ def test_tail_merge_grave_matches(small_scene, monkeypatch):
     cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
                  vfov_deg=40.0, aspect_ratio=cfg.width / cfg.height)
     monkeypatch.setenv("RAYTPU_TAIL_MERGE", "1")
+    monkeypatch.setenv("RAYTPU_DEPOSIT", "ch")
     acc_ref, img_ref, st_ref = Renderer(cfg).render(small_scene,
                                                     cam.uniforms())
     monkeypatch.setenv("RAYTPU_DEPOSIT", "grave")
