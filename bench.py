@@ -157,13 +157,27 @@ def main():
         builder, instances = scene
         scene = builder.build(instances)
 
+    frame_no = [0]
+
     def frame(accum):
         if per_frame == "camera":
             # Per-frame UBO update: nudge the camera like a held key
             # (reference step constants live in Camera.move).
             cam.set_origin(cam.origin + np.array([0, 0, -0.1], np.float64))
         if per_frame == "rebuild":
-            s = builder.build(instances)
+            # Live-edit model: one instance is being dragged, so every
+            # frame rebuilds with CHANGED parameters. (Identical inputs
+            # would be memoized by the axon tunnel and measure
+            # render-only — CLAUDE.md benchmark rule.)
+            import dataclasses as _dc
+
+            frame_no[0] += 1
+            drag = list(instances)
+            drag[-1] = _dc.replace(
+                drag[-1],
+                position=(drag[-1].position[0] + 0.05 * frame_no[0],
+                          drag[-1].position[1], drag[-1].position[2]))
+            s = builder.build(drag)
         else:
             s = scene
         return renderer.render(s, cam.uniforms(), accum)

@@ -45,7 +45,8 @@ STACK_CAP = 256
 
 
 def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
-              cluster_counts: np.ndarray | None = None):
+              cluster_counts: np.ndarray | None = None,
+              return_depth: bool = False):
     """Collapse pre-order binary ``nodes8`` into BVH-``width`` arrays.
 
     Args:
@@ -59,8 +60,11 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
         (1..CLUSTER_SIZE). Encoded into the leaf metas so the traversal
         kernels skip the padded half of underfull clusters (mean flagship
         occupancy is ~6/8); omitted -> counts encode as CLUSTER_SIZE.
+      return_depth: also return the wide-tree depth (max_depth + 1) so a
+        caller that grafts this table under extra levels (the instanced
+        TLAS, scene/instanced.py) can re-check the SMEM stack bound.
     Returns:
-      (packed f32[R, 128], n_wide): R = ceil(n_wide * width / 16) rows.
+      (packed f32[R, 128], n_wide[, depth]): R = ceil(n_wide*width/16).
     """
     nodes = np.asarray(nodes8)[:num_nodes]
     links = nodes[:, 6:8].view(np.int32)
@@ -144,4 +148,6 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
     rows = -(-n4 // per_row)
     packed = np.zeros((rows, PACK_LANES), np.float32)
     packed.reshape(rows * per_row, node_floats)[:n4] = arr
+    if return_depth:
+        return packed, n4, max_depth + 1
     return packed, n4
