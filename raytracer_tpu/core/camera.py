@@ -131,7 +131,12 @@ class Camera:
         if nxt is None:
             nxt = jnp.asarray(fc + 1, jnp.int32)
         self._fc_pool = {fc: fcd, fc + 1: nxt}
-        return dataclasses.replace(self._uni_cache, frame_count=fcd)
+        uni = dataclasses.replace(self._uni_cache, frame_count=fcd)
+        # Host mirror of the counter (NOT a pytree field): the render loop
+        # reads it for ladder/pipeline decisions — reading the device
+        # scalar back would cost a tunnel RTT (~37 ms) per loop iteration.
+        uni.fc_host = fc
+        return uni
 
 
 def default_camera(width: int = 1280, height: int = 720) -> Camera:

@@ -113,7 +113,7 @@ class CameraUniforms:
     def create(origin, lower_left_corner, horizontal, vertical,
                frame_count=0, sky_enabled=True, exposure=0.0) -> "CameraUniforms":
         f32 = lambda v: jnp.asarray(v, jnp.float32)
-        return CameraUniforms(
+        uni = CameraUniforms(
             origin=f32(origin),
             lower_left_corner=f32(lower_left_corner),
             horizontal=f32(horizontal),
@@ -122,6 +122,11 @@ class CameraUniforms:
             sky_enabled=jnp.asarray(1 if sky_enabled else 0, jnp.int32),
             exposure=f32(exposure),
         )
+        if isinstance(frame_count, (int,)):
+            # Host mirror for the render loop (see Camera.uniforms) —
+            # a plain attribute, invisible to the pytree registry.
+            uni.fc_host = frame_count
+        return uni
 
 
 @dataclasses.dataclass(frozen=True)

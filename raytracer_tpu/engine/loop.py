@@ -239,6 +239,7 @@ class RenderEngine:
         default_depth = "1" if self._preview is not None else "2"
         depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", default_depth)))
         pending = collections.deque()  # (image, stats, t_submit, preview)
+        last_fc = 0
         try:
             while self._running:
                 new_scene, scene_fresh = self._scene_box.take()
@@ -254,22 +255,27 @@ class RenderEngine:
                 new_cam, cam_fresh = self._camera_box.take()
                 if cam_fresh:
                     cam = new_cam
-                    # Latency over throughput while interacting: DROP
-                    # every in-flight (stale-camera) frame. Publishing
-                    # them would cost a device wait + a full-image
-                    # readback each before the first new-camera frame
-                    # can even dispatch (exp26 measured that gating at
-                    # ~1 s keypress-to-frame at 720p under depth-2
-                    # pipelining); dropping loses nothing the UI needs —
-                    # it already showed this pose.
-                    pending.clear()
+                    # Latency over throughput when the user DID something:
+                    # drop every in-flight (stale) frame so the first
+                    # new-state frame isn't queued behind full-res
+                    # readbacks (exp26: ~1 s keypress-to-frame otherwise).
+                    # "Did something" = the accumulation counter went
+                    # BACKWARD (every key/edit/sky event resets it to 0;
+                    # the UI also submits uniforms every 16 ms tick with a
+                    # growing counter — those must NOT drop frames, or
+                    # full-res publishes starve: each loop iteration would
+                    # clear the frame the previous one rendered).
+                    fc_now = self._host_fc(cam)
+                    if fc_now < last_fc:
+                        pending.clear()
+                    last_fc = fc_now
 
                 if scene is None or cam is None:
                     time.sleep(0.016)  # idle until scene+camera arrive
                     continue
 
                 try:
-                    fc = int(np.asarray(cam.frame_count))
+                    fc = self._host_fc(cam)
                     preview = (self._preview is not None
                                and fc < self._ladder_frames)
                     t0 = time.perf_counter()
@@ -310,6 +316,17 @@ class RenderEngine:
                 self._publish(*pending.popleft())
         finally:
             _log_vrt.info("render thread exiting")
+
+    @staticmethod
+    def _host_fc(cam) -> int:
+        """Accumulation counter without a device readback: Camera.uniforms
+        attaches a host mirror (``fc_host``); hand-built CameraUniforms
+        without one fall back to the device fetch (a tunnel RTT — fine for
+        tests/benches that submit once)."""
+        fc = getattr(cam, "fc_host", None)
+        if fc is None:
+            fc = int(np.asarray(cam.frame_count))
+        return int(fc)
 
     def _publish(self, image, stats, t_submit, preview=False) -> None:
         with self.profiler.stage("readback"):

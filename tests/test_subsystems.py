@@ -163,3 +163,51 @@ def test_engine_loop_survives_bad_rebuild():
         assert int(built.num_triangles) == 0
     finally:
         engine.stop()
+
+
+def test_engine_ladder_ticks_dont_starve_fullres(monkeypatch):
+    """Regression: the viewer submits camera uniforms every 16 ms tick
+    with a GROWING accumulation counter (VulkanApp.java:194-235 analogue).
+    The loop's drop-stale-frames latency rule must key on the counter
+    going BACKWARD (a reset = user action), not on mailbox freshness —
+    otherwise every tick clears the frame the previous iteration rendered
+    and full-resolution frames never publish once the ladder window ends."""
+    from raytracer_tpu.core.camera import Camera
+    from raytracer_tpu.engine.loop import RenderEngine
+    from raytracer_tpu.scene.scene import Scene
+
+    monkeypatch.setenv("RAYTPU_LADDER_SCALE", "2")
+    engine = RenderEngine(RenderConfig(width=32, height=16, max_bounces=1),
+                          ladder_frames=2)
+    assert engine._preview is not None
+    engine.start()
+    try:
+        fut = engine.rebuild_scene_async(Scene([]))
+        fut.result(timeout=30)
+        cam = Camera(origin=(0, 2, 20), look_at=(0, 0, 0), vfov_deg=40,
+                     aspect_ratio=2.0)
+        kinds = []
+        deadline = time.time() + 120
+        while time.time() < deadline and kinds.count(False) < 3:
+            f = engine.latest_frame()
+            if f is not None:
+                kinds.append(f.preview)
+                cam.increment_frame_count()   # the UI tick rule
+            engine.submit_camera_update(cam.uniforms())  # every tick
+            time.sleep(0.005)
+        assert kinds.count(True) >= 1, "ladder previews never published"
+        assert kinds.count(False) >= 3, (
+            f"full-res frames starved by tick submissions: {kinds}")
+        # A reset (user action) switches back to previews.
+        cam.reset_accumulation()
+        engine.submit_camera_update(cam.uniforms())
+        deadline = time.time() + 60
+        saw_preview_again = False
+        while time.time() < deadline and not saw_preview_again:
+            f = engine.latest_frame()
+            if f is not None and f.preview:
+                saw_preview_again = True
+            time.sleep(0.01)
+        assert saw_preview_again
+    finally:
+        engine.stop()
