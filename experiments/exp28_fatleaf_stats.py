@@ -97,16 +97,20 @@ def decode_meta(meta_f, leaf_size):
     return ("leaf", lid & LEAF_CID_MASK)
 
 
-def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
+def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris,
+              leaf_size=8):
     """The pallas_mega walk in NumPy over one tile. Returns (closest,
-    win  [tile] i64 winner tri or -1, stats dict)."""
+    win  [tile] i64 winner tri or -1, stats dict). ``leaf_size`` only
+    feeds the ``halves`` stat (the kernel's count-gated mt_half: the
+    second half runs iff count > leaf_size//2)."""
     n = ox.shape[0]
     inv = lambda d: 1.0 / d
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
     closest = np.full(n, T_MAX, np.float32)
     win = np.full(n, -1, np.int64)
     mdx, mdy, mdz = dx.sum(), dy.sum(), dz.sum()
-    visits = leaf_visits = pair_tests = pushes = 0
+    visits = leaf_visits = pair_tests = pushes = halves = 0
+    half_gran = max(leaf_size // 2, 1)
     stack = [0]
     while stack:
         nid = stack.pop()
@@ -155,6 +159,7 @@ def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
             cid = meta[1]
             s0, cnt = starts[cid], counts[cid]
             pair_tests += cnt * int(hit.sum())
+            halves += 1 + (1 if cnt > half_gran else 0)
             sel = np.nonzero(hit)[0]
             tv = tris[s0:s0 + cnt]
             v0 = tv[:, 0]
@@ -179,7 +184,7 @@ def walk_tile(wide, ox, oy, oz, dx, dy, dz, starts, counts, tris):
             better = tbest < closest[sel]
             closest[sel] = np.where(better, tbest, closest[sel])
             win[sel] = np.where(better, s0 + k, win[sel])
-    stats = dict(visits=visits, leaf_visits=leaf_visits,
+    stats = dict(visits=visits, leaf_visits=leaf_visits, halves=halves,
                  pair_tests=pair_tests)
     return closest, win, stats
 

@@ -24,15 +24,23 @@ This is the TPU answer to the reference's three separate SSBOs
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 from raytracer_tpu.core.types import _register
 
 Array = Any
 
-CLUSTER_SIZE = 8      # triangles per leaf
+# Triangles per leaf cluster. exp33 (cid-sorted bounce-1 tiles, measured
+# per-op costs): the vectorized MT test's lane waste dominates the walk
+# so hard that THINNER leaves win despite more node visits — modeled
+# walk cost 0.79x at 4, 0.67x at 2 vs the long-standing 8. Import-time
+# env knob (like RAYTPU_TRAVERSE) for TPU A/Bs; all packers, kernels and
+# the LBVH derive shapes from it.
+CLUSTER_SIZE = int(os.environ.get("RAYTPU_CLUSTER", "8"))
+assert CLUSTER_SIZE in (2, 4, 8), "kernel halving logic assumes 2/4/8"
 TRI_STRIDE = 16       # floats per packed triangle
-CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128
+CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128 at the default 8
 # Children per wide-BVH node (single source; bvh/bvh4.py builds it and
 # kernels/pallas_trace.py consumes it). The traversal kernel's row
 # indexing (packed row == wide node id) is only valid at width 8: one

@@ -40,8 +40,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, LEAF_CID_BITS,
-                                           LEAF_CID_MASK, TRI_STRIDE)
+from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
+                                           LEAF_CID_BITS, LEAF_CID_MASK,
+                                           TRI_STRIDE)
 from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
 
 LANES = 128
@@ -677,7 +678,7 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                  jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
-                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,)),
                 pltpu.VMEM((sub, LANES), jnp.int32)]
                + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
@@ -723,7 +724,7 @@ def _bounce_call(npack, clusters, num_nodes, state, bcap, sky, bounds,
                  + (outi, outf, outi, outc, outc, outi))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((128,), jnp.float32),
-                pltpu.SMEM((4, 128), jnp.float32),
+                pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
                + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8
                + ([pltpu.VMEM((sub, LANES), jnp.int32)]

@@ -53,9 +53,10 @@ from typing import Any, Sequence
 import jax
 import numpy as np
 
-from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, FastScene,
-                                           LEAF_CID_BITS, LEAF_CID_MASK,
-                                           TRI_STRIDE, WIDE_WIDTH)
+from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
+                                           FastScene, LEAF_CID_BITS,
+                                           LEAF_CID_MASK, TRI_STRIDE,
+                                           WIDE_WIDTH)
 from raytracer_tpu.utils.log import get_logger
 
 _log = get_logger("srt")
@@ -366,7 +367,7 @@ def _combine(blas_arrays, params, statics):
     cpad = cluster_cap - l_total
     if cpad:
         clusters = jnp.concatenate(
-            [clusters, jnp.zeros((cpad, 128), jnp.float32)])
+            [clusters, jnp.zeros((cpad, CLUSTER_ROW), jnp.float32)])
 
     return nodes8, nodes4, clusters, jnp.int32(m_total), jnp.int32(w_total)
 
