@@ -5,6 +5,7 @@
 # init errors out by itself after ~35 min — STATUS.md backend incident).
 set -u
 cd "$(dirname "$0")/.."
+SWEEP="${1:-experiments/r3_sweep.sh}"
 LOG=experiments/probe_and_sweep.log
 echo "=== probe loop start $(date)" >> "$LOG"
 while true; do
@@ -18,6 +19,6 @@ EOF
   echo "probe failed $(date); retry in 300s" >> "$LOG"
   sleep 300
 done
-echo "=== TPU up $(date); starting r3_sweep" >> "$LOG"
-bash experiments/r3_sweep.sh >> "$LOG" 2>&1
+echo "=== TPU up $(date); starting $SWEEP" >> "$LOG"
+bash "$SWEEP" >> "$LOG" 2>&1
 echo "=== sweep finished $(date)" >> "$LOG"
