@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
+from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE, ROW_TRIS,
                                            FastScene, LEAF_CID_BITS,
                                            TRI_STRIDE)
 from raytracer_tpu.bvh.build import AABB_EPS
@@ -278,12 +278,15 @@ def build_fast_scene_device(verts: jnp.ndarray,
                             mats: jnp.ndarray) -> FastScene:
     """Jittable scene build: [T,3,3] verts + [T,4] mats -> FastScene.
 
-    T must be a multiple of CLUSTER_SIZE (pad with degenerate zero
-    triangles on the host — zero-area tris never hit). All steps are dense
-    vector ops; safe under jit and on any backend.
+    T must be a multiple of ROW_TRIS (pad with degenerate zero
+    triangles on the host — zero-area tris never hit), so the Morton-sorted
+    soup fills whole 128-float cluster rows; leaves are runs of
+    CLUSTER_SIZE sorted triangles, i.e. subclusters of those rows
+    (core/fast_types.py). All steps are dense vector ops; safe under jit
+    and on any backend.
     """
     t = verts.shape[0]
-    assert t % CLUSTER_SIZE == 0, "pad triangle count to a cluster multiple"
+    assert t % ROW_TRIS == 0, "pad triangle count to a cluster-row multiple"
     l = t // CLUSTER_SIZE
     m = 2 * l - 1
 
@@ -408,7 +411,7 @@ def build_fast_scene_device(verts: jnp.ndarray,
     nlen = jnp.sqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True))
     nrm = jnp.where(nlen > 0.0, nrm / jnp.where(nlen > 0.0, nlen, 1.0), 0.0)
     row16 = jnp.concatenate([v0, e1, e2, m_s, nrm], axis=1)  # [T, 16]
-    clusters = row16.reshape(l, CLUSTER_ROW)
+    clusters = row16.reshape(t // ROW_TRIS, CLUSTER_ROW)
 
     return FastScene(
         nodes8=nodes8,
@@ -421,12 +424,12 @@ def build_fast_scene_device(verts: jnp.ndarray,
 
 
 def pad_to_cluster_multiple(verts, mats):
-    """Host-side helper: pad a triangle soup so T % CLUSTER_SIZE == 0
+    """Host-side helper: pad a triangle soup so T % ROW_TRIS == 0
     (degenerate zero triangles never hit)."""
     import numpy as np
 
     t = verts.shape[0]
-    pad = (-t) % CLUSTER_SIZE
+    pad = (-t) % ROW_TRIS
     if pad:
         verts = np.concatenate(
             [verts, np.zeros((pad, 3, 3), np.float32)])

@@ -40,7 +40,20 @@ Array = Any
 CLUSTER_SIZE = int(os.environ.get("RAYTPU_CLUSTER", "8"))
 assert CLUSTER_SIZE in (2, 4, 8), "kernel halving logic assumes 2/4/8"
 TRI_STRIDE = 16       # floats per packed triangle
-CLUSTER_ROW = CLUSTER_SIZE * TRI_STRIDE  # 128 at the default 8
+# The clusters TABLE keeps 128-float rows (8 triangles) at every
+# CLUSTER_SIZE: Mosaic cannot slice a VMEM-resident table at lane widths
+# below the 128 tiling (measured: "Slice shape along dimension 1 must be
+# aligned to tiling (128), but is 64"), so a thin leaf is a SUBCLUSTER of
+# a shared row — row = cid >> SUB_SHIFT, first slot = (cid & SUB_MASK) *
+# CLUSTER_SIZE. Leaves stay packed consecutively in cid order, so the
+# table bytes are identical to CLUSTER_SIZE=8 and the per-visit DMA shape
+# ([1, 128]) never changes; at CLUSTER_SIZE=8 everything reduces to the
+# historical one-leaf-per-row layout.
+ROW_TRIS = 8
+CLUSTER_ROW = ROW_TRIS * TRI_STRIDE  # 128 always
+SUBS_PER_ROW = ROW_TRIS // CLUSTER_SIZE
+SUB_SHIFT = SUBS_PER_ROW.bit_length() - 1
+SUB_MASK = SUBS_PER_ROW - 1
 # Children per wide-BVH node (single source; bvh/bvh4.py builds it and
 # kernels/pallas_trace.py consumes it). The traversal kernel's row
 # indexing (packed row == wide node id) is only valid at width 8: one

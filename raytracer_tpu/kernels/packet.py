@@ -29,7 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from raytracer_tpu.core.fast_types import CLUSTER_SIZE, FastScene, TRI_STRIDE
+from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, FastScene,
+                                           SUBS_PER_ROW, TRI_STRIDE)
 from raytracer_tpu.core.types import CameraUniforms, RenderConfig
 from raytracer_tpu.kernels import vec
 from raytracer_tpu.kernels.tracer import (TraversalResult, initial_seed,
@@ -43,6 +44,18 @@ TILE = TILE_H * TILE_W          # primary-bounce group: one 8x8 pixel tile
 import os as _os
 
 TRAVERSE_UNROLL = int(_os.environ.get("RAYTPU_TRAVERSE_UNROLL", "2"))
+
+
+def _leaf_rows(clusters):
+    """Leaf-major view of the cluster table: [L, CLUSTER_SIZE * 16].
+
+    The device table keeps 128-float rows at every CLUSTER_SIZE (Mosaic
+    VMEM tiling — core/fast_types.py); for the XLA gather paths a free
+    contiguous reshape regroups it so row index == leaf cid again.
+    """
+    if SUBS_PER_ROW == 1:
+        return clusters
+    return clusters.reshape(-1, CLUSTER_SIZE * TRI_STRIDE)
 
 
 def _cluster_mt(crow, ray_o, ray_d, closest_t, gate, state, cfg):
@@ -178,7 +191,8 @@ def packet_traverse(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3, active,
         is_leaf = leaf >= 0
         do_leaf = group_hit & is_leaf
 
-        crow = jnp.take(scene.clusters, jnp.where(do_leaf, leaf, 0),
+        crow = jnp.take(_leaf_rows(scene.clusters),
+                        jnp.where(do_leaf, leaf, 0),
                         axis=0)                            # [NG, 128]
         closest_t, state = _cluster_mt(
             crow, ray_o, ray_d, closest_t,
@@ -241,7 +255,8 @@ def ray_traverse_fast(scene: FastScene, ray_o: vec.V3, ray_d: vec.V3,
         is_leaf = leaf >= 0
         do_leaf = ray_hit & is_leaf
 
-        crow = jnp.take(scene.clusters, jnp.where(do_leaf, leaf, 0),
+        crow = jnp.take(_leaf_rows(scene.clusters),
+                        jnp.where(do_leaf, leaf, 0),
                         axis=0)                            # [P, 128]
         closest_t, state = _cluster_mt(
             crow, ray_o, ray_d, closest_t, do_leaf, state, cfg)
@@ -408,7 +423,8 @@ def _mega_level(scene, state, rays_traced, sky_on, cfg, done,
         is_leaf = leaf >= 0
         do_leaf = ray_hit & is_leaf
 
-        crow = jnp.take(scene.clusters, jnp.where(do_leaf, leaf, 0),
+        crow = jnp.take(_leaf_rows(scene.clusters),
+                        jnp.where(do_leaf, leaf, 0),
                         axis=0)
         closest_t, hitstate = _cluster_mt(
             crow, ray_o, ray_d, closest_t, do_leaf, hitstate, cfg)

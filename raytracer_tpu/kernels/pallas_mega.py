@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
                                            LEAF_CID_BITS, LEAF_CID_MASK,
-                                           TRI_STRIDE)
+                                           SUB_MASK, SUB_SHIFT,
+                                           SUBS_PER_ROW, TRI_STRIDE)
 from raytracer_tpu.kernels.rng import REJECTION_ROUNDS
 
 LANES = 128
@@ -273,6 +274,15 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                 # second half-cluster runs only when count > 4 (padding
                 # tris have det == 0, so skipping is result-neutral).
                 def mt_half(cc, lo_k, hi_k):
+                    if SUBS_PER_ROW > 1:
+                        # Subcluster scalar offset into the shared
+                        # 128-float row (core/fast_types.py).
+                        cid_b = (-meta_c[cc] - jnp.int32(1)) \
+                            & jnp.int32(LEAF_CID_MASK)
+                        cbase = (cid_b & jnp.int32(SUB_MASK)) \
+                            * jnp.int32(CLUSTER_SIZE * TRI_STRIDE)
+                    else:
+                        cbase = 0  # python int: T=8 unchanged
                     cl = t_s[:]
                     nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
                     tar, tag, tab = tar_s[:], tag_s[:], tab_s[:]
@@ -285,7 +295,7 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                     for k in range(lo_k, hi_k):
                         b = k * TRI_STRIDE
                         s = (lambda j, b=b, cc=cc:
-                             crow_s[cc % 4, b + j])
+                             crow_s[cc % 4, cbase + b + j])
                         # Precomputed record: v0, e1, e2, albedo,
                         # type, unit normal (core/fast_types.py).
                         v0x, v0y, v0z = s(0), s(1), s(2)
@@ -338,7 +348,10 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                         def _(cc=cc):
                             lid = -meta_c[cc] - jnp.int32(1)
                             cid = lid & jnp.int32(LEAF_CID_MASK)
-                            pltpu.make_async_copy(clusters_ref.at[cid],
+                            # Subcluster row (core/fast_types.py).
+                            crw = (cid >> SUB_SHIFT
+                                   if SUBS_PER_ROW > 1 else cid)
+                            pltpu.make_async_copy(clusters_ref.at[crw],
                                                   crow_s.at[cc % 4],
                                                   csem.at[cc % 4]).start()
                     for cc in range(group, group + 4):
@@ -348,7 +361,9 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                         def _(cc=cc):
                             lid = -meta_c[cc] - jnp.int32(1)
                             cid = lid & jnp.int32(LEAF_CID_MASK)
-                            pltpu.make_async_copy(clusters_ref.at[cid],
+                            crw = (cid >> SUB_SHIFT
+                                   if SUBS_PER_ROW > 1 else cid)
+                            pltpu.make_async_copy(clusters_ref.at[crw],
                                                   crow_s.at[cc % 4],
                                                   csem.at[cc % 4]).wait()
                             mt_half(cc, 0, CLUSTER_SIZE // 2)

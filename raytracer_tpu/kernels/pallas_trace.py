@@ -35,8 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.core.fast_types import (CLUSTER_SIZE, FastScene,
-                                           LEAF_CID_BITS, LEAF_CID_MASK,
+from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
+                                           FastScene, LEAF_CID_BITS,
+                                           LEAF_CID_MASK, SUB_MASK,
+                                           SUB_SHIFT, SUBS_PER_ROW,
                                            TRI_STRIDE, WIDE_WIDTH)
 from raytracer_tpu.core.types import RenderConfig
 from raytracer_tpu.kernels.tracer import TraversalResult
@@ -143,11 +145,20 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
         def _():
             # Stage the cluster row in SMEM: the 104 per-triangle scalar
             # reads below then come from scalar memory instead of VMEM
-            # lane extracts (1.5x whole-traversal win — exp10b).
-            dma = pltpu.make_async_copy(clusters_ref.at[col7],
+            # lane extracts (1.5x whole-traversal win — exp10b). At
+            # CLUSTER_SIZE < 8 the leaf is a subcluster of a shared
+            # 128-float row (core/fast_types.py): DMA the whole row,
+            # read at the subcluster's scalar offset.
+            crow = col7 >> SUB_SHIFT if SUBS_PER_ROW > 1 else col7
+            dma = pltpu.make_async_copy(clusters_ref.at[crow],
                                         crow_smem, crow_sem)
             dma.start()
             dma.wait()
+            if SUBS_PER_ROW > 1:
+                cbase = (col7 & jnp.int32(SUB_MASK)) \
+                    * jnp.int32(CLUSTER_SIZE * TRI_STRIDE)
+            else:
+                cbase = 0  # python int: T=8 indexing is unchanged
             closest = t_ref[:]
             nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
             ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
@@ -156,7 +167,7 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
                 b = k * TRI_STRIDE
 
                 def s(j, b=b):  # scalar load (broadcasts to vregs)
-                    return crow_smem[b + j]
+                    return crow_smem[cbase + b + j]
 
                 # Record: v0, e1, e2, albedo, type, unit normal — edges and
                 # normal precomputed at pack time (core/fast_types.py).
@@ -356,11 +367,22 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                 def _(cc=cc):
                     lid = -meta_c[cc] - jnp.int32(1)
                     cid = lid & jnp.int32(LEAF_CID_MASK)
-                    pltpu.make_async_copy(clusters_ref.at[cid],
+                    # At CLUSTER_SIZE < 8 a leaf is a subcluster of a
+                    # shared 128-float row (core/fast_types.py): DMA
+                    # the whole row, offset the scalar reads below.
+                    crow = cid >> SUB_SHIFT if SUBS_PER_ROW > 1 else cid
+                    pltpu.make_async_copy(clusters_ref.at[crow],
                                           crow_smem.at[cc % 4],
                                           crow_sem.at[cc % 4]).start()
 
             def mt_half(cc, lo_k, hi_k):
+                if SUBS_PER_ROW > 1:
+                    cid_s = (-meta_c[cc] - jnp.int32(1)) \
+                        & jnp.int32(LEAF_CID_MASK)
+                    cbase = (cid_s & jnp.int32(SUB_MASK)) \
+                        * jnp.int32(CLUSTER_SIZE * TRI_STRIDE)
+                else:
+                    cbase = 0  # python int: T=8 indexing is unchanged
                 cl = t_ref[:]
                 nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
                 ar, ag, ab = ar_ref[:], ag_ref[:], ab_ref[:]
@@ -369,7 +391,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                     b = k * TRI_STRIDE
 
                     def s(j, b=b, cc=cc):
-                        return crow_smem[cc % 4, b + j]
+                        return crow_smem[cc % 4, cbase + b + j]
 
                     # Precomputed record: v0, e1, e2, albedo, type,
                     # unit normal (pack time, core/fast_types.py).
@@ -418,7 +440,8 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                 def _(cc=cc):
                     lid = -meta_c[cc] - jnp.int32(1)
                     cid = lid & jnp.int32(LEAF_CID_MASK)
-                    pltpu.make_async_copy(clusters_ref.at[cid],
+                    crow = cid >> SUB_SHIFT if SUBS_PER_ROW > 1 else cid
+                    pltpu.make_async_copy(clusters_ref.at[crow],
                                           crow_smem.at[cc % 4],
                                           crow_sem.at[cc % 4]).wait()
                     mt_half(cc, 0, CLUSTER_SIZE // 2)
@@ -476,8 +499,7 @@ def _trace4_call(num_nodes4, nodes4, clusters, comps, sublanes,
         scratch_shapes=[pltpu.SMEM((STACK4_CAP,), jnp.int32),
                         pltpu.SMEM((128,), jnp.float32),
                         pltpu.SemaphoreType.DMA,
-                        pltpu.SMEM((4, CLUSTER_SIZE * TRI_STRIDE),
-                                   jnp.float32),
+                        pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -524,8 +546,7 @@ def _trace_call(num_nodes, nodes, clusters, comps, sublanes,
         out_specs=(block,) * 8,
         scratch_shapes=[pltpu.SMEM((128,), jnp.float32),
                         pltpu.SemaphoreType.DMA,
-                        pltpu.SMEM((CLUSTER_SIZE * TRI_STRIDE,),
-                                   jnp.float32),
+                        pltpu.SMEM((CLUSTER_ROW,), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             # Tables (nodes + clusters ~9 MB at 50k tris) + whatever

@@ -239,9 +239,11 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
         lids[:m] = leaf_ids
         nodes8[:, 7] = lids.view(np.float32)
 
-        # Pack clusters: [L, 8 tris x 16 floats]. Padding triangles are
-        # degenerate (zeros -> det == 0 -> never hit).
-        clusters = np.zeros((lcap, CLUSTER_ROW), np.float32)
+        # Pack clusters: flat [L, CLUSTER_SIZE tris x 16 floats] in leaf
+        # order, reshaped below into 128-float table rows (SUBS_PER_ROW
+        # consecutive leaves per row — core/fast_types.py). Padding
+        # triangles are degenerate (zeros -> det == 0 -> never hit).
+        clusters = np.zeros((lcap, CLUSTER_SIZE * TRI_STRIDE), np.float32)
         packed = False
         if os.environ.get("RAYTPU_NATIVE", "1") != "0":
             try:
@@ -269,6 +271,8 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
                 count = int(bvh.node_ntri[node])
                 row = clusters[li].reshape(CLUSTER_SIZE, TRI_STRIDE)
                 row[:count] = records[start:start + count]
+        # lcap is a power of two >= 64, so always SUBS_PER_ROW-divisible.
+        clusters = clusters.reshape(-1, CLUSTER_ROW)
         num_nodes = m
 
     # 4-wide collapse of the same tree (bvh/bvh4.py) — the Pallas

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracer_tpu.bvh.lbvh import build_fast_scene_device
-from raytracer_tpu.core.fast_types import CLUSTER_SIZE
+from raytracer_tpu.core.fast_types import ROW_TRIS
 from raytracer_tpu.scene.objloader import load_obj
 from raytracer_tpu.scene.scene import ModelInstance
 from raytracer_tpu.utils.log import get_logger
@@ -170,8 +170,9 @@ class DeviceSceneBuilder:
         meshes = [self._mesh(inst.model_path) for inst in live]
         params = [self._params(inst) for inst in live]
         total = sum(m.shape[0] for m in meshes)
-        capacity = _bucket(
-            (total + CLUSTER_SIZE - 1) // CLUSTER_SIZE * CLUSTER_SIZE)
+        # Round to full 128-float cluster rows (ROW_TRIS triangles), a
+        # multiple of any CLUSTER_SIZE in {2, 4, 8}.
+        capacity = _bucket((total + ROW_TRIS - 1) // ROW_TRIS * ROW_TRIS)
         return _assemble_and_build(tuple(meshes), tuple(params), capacity)
 
     def _try_mesh(self, inst: ModelInstance):

@@ -363,11 +363,17 @@ def _combine(blas_arrays, params, statics):
         nodes4 = jnp.concatenate(
             [nodes4, jnp.zeros((wpad, 128), jnp.float32)])
 
+    # Flat [l_total, CLUSTER_SIZE*16] leaf records in global cid order,
+    # regrouped into 128-float table rows (SUBS_PER_ROW consecutive
+    # leaves per row — core/fast_types.py). cluster_cap is a power of
+    # two, so always SUBS_PER_ROW-divisible.
     clusters = jnp.concatenate(cluster_rows)
     cpad = cluster_cap - l_total
     if cpad:
         clusters = jnp.concatenate(
-            [clusters, jnp.zeros((cpad, CLUSTER_ROW), jnp.float32)])
+            [clusters,
+             jnp.zeros((cpad, CLUSTER_SIZE * TRI_STRIDE), jnp.float32)])
+    clusters = clusters.reshape(-1, CLUSTER_ROW)
 
     return nodes8, nodes4, clusters, jnp.int32(m_total), jnp.int32(w_total)
 
