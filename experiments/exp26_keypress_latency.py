@@ -60,31 +60,34 @@ def main():
         print(f"ladder={ladder}: warm at frame "
               f"{0 if f is None else f.frame_number}", flush=True)
 
-        lats = []
+        # Per-press latency from the engine's own instrumentation
+        # (engine/loop.py): the first post-event frame carries
+        # input_latency_ms = event -> publish on one clock, split into
+        # wait_ms (event -> dispatch) + render_ms — no polling race.
+        lats, waits, renders = [], [], []
         for press in range(6):
             time.sleep(2.0)  # settle into full-res accumulation
-            base = app.engine.latest_frame()
-            base_n = -1 if base is None else base.frame_number
+            before = app.engine.last_event_frame
             t_press = time.perf_counter()
             app.key("W")
-            while True:
-                f = app.engine.latest_frame()
-                # A key resets accumulation; the first frame rendered
-                # with the new camera publishes samples == 1 (pipelined
-                # stale-camera frames keep counting up).
-                if (f is not None and f.frame_number > base_n
-                        and f.samples <= 1.5):
-                    lats.append((time.perf_counter() - t_press) * 1e3)
-                    break
+            while app.engine.last_event_frame is before:
                 if time.perf_counter() - t_press > 60:
-                    lats.append(float("nan"))
                     break
                 time.sleep(0.002)
+            f = app.engine.last_event_frame
+            if f is before or f is None:
+                lats.append(float("nan"))
+                continue
+            lats.append(f.input_latency_ms)
+            waits.append(f.wait_ms)
+            renders.append(f.render_ms)
         app.stop()
         med = statistics.median(lats)
         results[ladder] = med
         print(f"ladder={ladder}: keypress->frame median {med:.0f} ms "
-              f"({['%.0f' % x for x in lats]})", flush=True)
+              f"({['%.0f' % x for x in lats]}) | "
+              f"wait {['%.0f' % x for x in waits]} | "
+              f"render {['%.0f' % x for x in renders]}", flush=True)
     print({"ladder_on_ms": results[8], "ladder_off_ms": results[0]})
 
 

@@ -56,6 +56,7 @@ class ViewerApp:
         self._lock = threading.RLock()
         self._last_frame = None
         self._running = False
+        self._event_t = None  # perf_counter of the latest user action
 
     # --- lifecycle -----------------------------------------------------------
 
@@ -95,8 +96,13 @@ class ViewerApp:
             self._last_frame = frame
 
     def _uniforms(self):
-        return self.camera.uniforms(sky_enabled=self.sky_enabled,
-                                    exposure=self.exposure)
+        uni = self.camera.uniforms(sky_enabled=self.sky_enabled,
+                                   exposure=self.exposure)
+        # Latency probe: timestamp of the most recent user action (key /
+        # sky / edit). The VRT reads it only when the accumulation counter
+        # goes backward, i.e. exactly once per event (engine/loop.py).
+        uni.event_t = self._event_t
+        return uni
 
     def _on_scene_swapped(self):
         with self._lock:
@@ -106,10 +112,16 @@ class ViewerApp:
 
     def key(self, k: str):
         with self._lock:
+            self._event_t = time.perf_counter()
             self.camera.move(k)  # includes reset_accumulation
+            # Submit immediately instead of waiting out the 16 ms tick
+            # (the reference also submits inside the key action,
+            # VulkanApp.java:747-750) — mean keypress latency drops ~8 ms.
+            self.engine.submit_camera_update(self._uniforms())
 
     def set_sky(self, enabled: bool):
         with self._lock:
+            self._event_t = time.perf_counter()
             self.sky_enabled = bool(enabled)
             self.camera.reset_accumulation()
 
@@ -168,6 +180,8 @@ class ViewerApp:
         self._rebuild()
 
     def _rebuild(self):
+        with self._lock:
+            self._event_t = time.perf_counter()
         self.engine.rebuild_scene_async(self.scene)
 
     # --- frame/state for HTTP -------------------------------------------------
@@ -221,6 +235,11 @@ class ViewerApp:
                     "fps": round(self.engine.meter.fps, 2),
                     "mrays": round(self.engine.meter.mrays_per_s, 2),
                     "preview": frame.preview,
+                    # Keypress->frame latency of the most recent user
+                    # event (ms; None until the first event lands).
+                    "input_latency_ms": (
+                        None if self.engine.last_input_latency_ms is None
+                        else round(self.engine.last_input_latency_ms, 1)),
                 },
                 "stages": self.engine.profiler.summary(),
                 "color_presets": COLOR_PRESETS,

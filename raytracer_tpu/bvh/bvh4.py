@@ -144,10 +144,17 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
             arr[qid, base + 6] = (leaf_meta(e[1]) if e[0] == "leaf"
                                   else b2q[e[1]] + 1)
         # remaining slots keep meta == 0 (empty)
-    per_row = PACK_LANES // node_floats  # 2 for width 4, 1 for width 8
-    rows = -(-n4 // per_row)
-    packed = np.zeros((rows, PACK_LANES), np.float32)
-    packed.reshape(rows * per_row, node_floats)[:n4] = arr
+    if node_floats <= PACK_LANES:
+        per_row = PACK_LANES // node_floats  # 2 for width 4, 1 for width 8
+        rows = -(-n4 // per_row)
+        packed = np.zeros((rows, PACK_LANES), np.float32)
+        packed.reshape(rows * per_row, node_floats)[:n4] = arr
+    else:
+        # Width 16: one node spans node_floats/128 consecutive table rows
+        # (node i at rows i*rpn .. i*rpn+rpn-1 — the kernels DMA rpn rows
+        # per visit).
+        rpn = node_floats // PACK_LANES
+        packed = arr.reshape(n4 * rpn, PACK_LANES)
     if return_depth:
         return packed, n4, max_depth + 1
     return packed, n4

@@ -413,6 +413,13 @@ def build_fast_scene_device(verts: jnp.ndarray,
     row16 = jnp.concatenate([v0, e1, e2, m_s, nrm], axis=1)  # [T, 16]
     clusters = row16.reshape(t // ROW_TRIS, CLUSTER_ROW)
 
+    # The on-device wide emit is 8-wide only; under the RAYTPU_WIDE=16
+    # A/B knob device-built scenes drop the wide table (wavefront/packet
+    # fall back to the binary split path; host builds get the 16-wide
+    # collapse from bvh/bvh4.py).
+    from raytracer_tpu.core.fast_types import WIDE_WIDTH
+    if WIDE_WIDTH != 8:
+        nodes_wide, n_wide = None, None
     return FastScene(
         nodes8=nodes8,
         clusters=clusters,

@@ -55,10 +55,19 @@ SUBS_PER_ROW = ROW_TRIS // CLUSTER_SIZE
 SUB_SHIFT = SUBS_PER_ROW.bit_length() - 1
 SUB_MASK = SUBS_PER_ROW - 1
 # Children per wide-BVH node (single source; bvh/bvh4.py builds it and
-# kernels/pallas_trace.py consumes it). The traversal kernel's row
-# indexing (packed row == wide node id) is only valid at width 8: one
-# node = 8 children x 16 floats = one 128-float row.
-WIDE_WIDTH = 8
+# kernels/pallas_trace.py + kernels/pallas_mega.py consume it). The r3f
+# thin-leaf A/B measured that per-VISIT fixed cost dominates the walk
+# (T=2's 4x fewer MT lane-tests still lost 19% frame-level because total
+# visit events grew 1.36x), which flips exp28's BVH16 verdict: x0.74
+# visits at x1.49 (nearly free) vector slab ops should WIN. Env knob for
+# the TPU A/B: at 16, one node = 16 children x 16 floats = TWO 128-float
+# table rows (node i at packed rows 2i, 2i+1); the on-device LBVH wide
+# emit stays 8-wide only (bvh/lbvh.py), so live-edit device rebuilds
+# require the default.
+WIDE_WIDTH = int(os.environ.get("RAYTPU_WIDE", "8"))
+assert WIDE_WIDTH in (8, 16), "kernels support widths 8 and 16"
+# Packed table rows per wide node (1 at width 8, 2 at width 16).
+WIDE_ROWS = (WIDE_WIDTH * 16) // 128
 # Wide-table leaf metas pack (cluster id | (count-1) << LEAF_CID_BITS):
 # the live-triangle count lets the traversal kernels skip the padded
 # second half of underfull clusters (flagship mean occupancy ~6/8).

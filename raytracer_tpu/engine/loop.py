@@ -63,6 +63,15 @@ class FrameData:
     # True while the resolution ladder is serving upscaled preview frames
     # (pixels are still full-size; see RenderEngine ladder_frames).
     preview: bool = False
+    # Input-event -> this-frame-published latency, carried ONLY by the
+    # first frame rendered with post-event state (None otherwise). The
+    # event timestamp originates at the UI action (ViewerApp.key/set_sky
+    # attach `event_t` to the uniforms); the VRT detects the event by the
+    # accumulation counter going backward. Stage split: `wait_ms` =
+    # event -> dispatch start (tick + mailbox + stale-frame drop dwell),
+    # render_ms = dispatch -> publish, readback inside render_ms.
+    input_latency_ms: Optional[float] = None
+    wait_ms: Optional[float] = None
 
 
 class _Mailbox:
@@ -143,6 +152,13 @@ class RenderEngine:
         self._build_in_flight = threading.Event()
         self._frame_number = 0
         self.on_scene_swapped: Optional[Callable[[], None]] = None
+        # Most recent keypress->frame latency (ms), None until the first
+        # user event's frame publishes (VERDICT r3 item 5 observability).
+        # last_event_frame keeps the whole tagged FrameData: the frame
+        # mailbox is drain-to-latest, so a latency-tagged frame can be
+        # overwritten before a consumer sees it.
+        self.last_input_latency_ms: Optional[float] = None
+        self.last_event_frame: Optional[FrameData] = None
 
     # --- submission API (UI thread side) -----------------------------------
 
@@ -238,8 +254,11 @@ class RenderEngine:
         # headless runs keep depth 2 for max device occupancy.
         default_depth = "1" if self._preview is not None else "2"
         depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", default_depth)))
-        pending = collections.deque()  # (image, stats, t_submit, preview)
+        pending = collections.deque()  # (image, stats, t_submit, preview,
+        #                                 event_t)
         last_fc = 0
+        pending_event_t = None  # keypress time awaiting its first frame
+        last_event_t = None     # latest user-action stamp already seen
         try:
             while self._running:
                 new_scene, scene_fresh = self._scene_box.take()
@@ -266,8 +285,21 @@ class RenderEngine:
                     # full-res publishes starve: each loop iteration would
                     # clear the frame the previous one rendered).
                     fc_now = self._host_fc(cam)
-                    if fc_now < last_fc:
+                    # A user action is detected by its timestamp changing
+                    # (ViewerApp attaches `event_t` to the uniforms). The
+                    # counter-went-backward check is the fallback for
+                    # hand-built uniforms without the stamp — alone it can
+                    # MISS an event: the UI tick may increment the counter
+                    # (0 -> 1+) between the keypress and the VRT's next
+                    # mailbox take, so fc never appears to go backward.
+                    ev = getattr(cam, "event_t", None)
+                    if ev is not None and ev != last_event_t:
+                        last_event_t = ev
                         pending.clear()
+                        pending_event_t = float(ev)
+                    elif ev is None and fc_now < last_fc:
+                        pending.clear()
+                        pending_event_t = time.perf_counter()
                     last_fc = fc_now
 
                 if scene is None or cam is None:
@@ -300,7 +332,9 @@ class RenderEngine:
                         with self.profiler.stage("dispatch"):
                             accum, image, stats = self.renderer.render(
                                 scene, cam_r, accum)
-                    pending.append((image, stats, t0, preview))
+                    pending.append((image, stats, t0, preview,
+                                    pending_event_t))
+                    pending_event_t = None
                     # Preview (ladder) frames publish immediately: they are
                     # tiny (quarter-area) and exist only to minimize
                     # keypress-to-frame latency, so deep pipelining is the
@@ -328,7 +362,8 @@ class RenderEngine:
             fc = int(np.asarray(cam.frame_count))
         return int(fc)
 
-    def _publish(self, image, stats, t_submit, preview=False) -> None:
+    def _publish(self, image, stats, t_submit, preview=False,
+                 event_t=None) -> None:
         with self.profiler.stage("readback"):
             pixels = np.asarray(image)  # device -> host (sync point)
         if preview:
@@ -336,15 +371,29 @@ class RenderEngine:
             fy = self.cfg.height // pixels.shape[0]
             fx = self.cfg.width // pixels.shape[1]
             pixels = pixels.repeat(fy, axis=0).repeat(fx, axis=1)
-        dt = (time.perf_counter() - t_submit) * 1e3
+        now = time.perf_counter()
+        dt = (now - t_submit) * 1e3
+        latency = wait = None
+        if event_t is not None:
+            latency = (now - event_t) * 1e3
+            wait = (t_submit - event_t) * 1e3
+            self.last_input_latency_ms = latency
+            remember = True
+        else:
+            remember = False
         self._frame_number += 1
         rays = float(stats["rays_traced"])
         self.meter.tick(rays)
-        self._frame_box.put(FrameData(
+        frame = FrameData(
             pixels=pixels,
             frame_number=self._frame_number,
             samples=float(stats["samples"]),
             rays_traced=rays,
             render_ms=dt,
             preview=preview,
-        ))
+            input_latency_ms=latency,
+            wait_ms=wait,
+        )
+        if remember:
+            self.last_event_frame = frame
+        self._frame_box.put(frame)

@@ -50,10 +50,13 @@ LANES = 128
 # Keep in sync with bvh/bvh4.py STACK_CAP: the collapse refuses to build
 # trees whose worst-case stack occupancy ((WIDTH-1)*depth + 1) exceeds it.
 STACK_CAP = 256
-WIDTH = 8
-NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-        (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
-        (2, 4), (3, 5), (3, 4)]
+# Wide-node width and table rows per node (1 at 8, 2 at 16) — single
+# source core/fast_types.py (RAYTPU_WIDE A/B knob; see the note there).
+from raytracer_tpu.core.fast_types import WIDE_ROWS, WIDE_WIDTH  # noqa: E402
+
+WIDTH = WIDE_WIDTH
+from raytracer_tpu.kernels.pallas_trace import _NET8 as NET8  # noqa: E402
+
 SPHERE_ITERS = REJECTION_ROUNDS
 
 
@@ -189,7 +192,14 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
                 mdy = jnp.sum(jnp.where(active, rdy, 0.0))
                 mdz = jnp.sum(jnp.where(active, rdz, 0.0))
 
-            boot = pltpu.make_async_copy(npack_ref.at[0], row_s, sema)
+            def node_rows(nid):
+                # Table slice of wide node ``nid`` (WIDE_ROWS rows).
+                if WIDE_ROWS == 1:
+                    return npack_ref.at[nid]
+                return npack_ref.at[pl.ds(nid * WIDE_ROWS, WIDE_ROWS)]
+
+            boot = pltpu.make_async_copy(node_rows(jnp.int32(0)), row_s,
+                                         sema)
             boot.start()
             boot.wait()
 
@@ -201,14 +211,18 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
 
                 @pl.when(pending)
                 def _():
-                    pltpu.make_async_copy(npack_ref.at[resident], row_s,
+                    pltpu.make_async_copy(node_rows(resident), row_s,
                                           sema).wait()
 
                 closest = t_s[:]
                 any_c, meta_c, hit_c, key_c = [], [], [], []
                 for cc in range(WIDTH):
                     b = 16 * cc
-                    g = lambda j, b=b: row_s[b + j]
+                    if WIDE_ROWS == 1:
+                        g = lambda j, b=b: row_s[b + j]
+                    else:
+                        g = (lambda j, b=b:
+                             row_s[(b + j) // 128, (b + j) % 128])
                     meta = g(6).astype(jnp.int32)
                     lo0 = (g(0) - rox) * ivx
                     hi0 = (g(3) - rox) * ivx
@@ -266,7 +280,7 @@ def _kernel_core(num_ref, npack_ref, clusters_ref, ins, outs,
 
                 @pl.when(pend2)
                 def _():
-                    pltpu.make_async_copy(npack_ref.at[nid2], row_s,
+                    pltpu.make_async_copy(node_rows(nid2), row_s,
                                           sema).start()
 
                 # Count-encoded leaf metas (bvh/bvh4.py): cluster id in
@@ -692,7 +706,8 @@ def bounce_megakernel_packed(npack, clusters, num_nodes, sf, si, bcap,
                  jax.ShapeDtypeStruct((grid, 8, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
-                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((128,) if WIDE_ROWS == 1
+                           else (WIDE_ROWS, 128), jnp.float32),
                 pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,)),
                 pltpu.VMEM((sub, LANES), jnp.int32)]
@@ -738,7 +753,8 @@ def _bounce_call(npack, clusters, num_nodes, state, bcap, sky, bounds,
     out_shape = ((outf,) * (ns - 3)
                  + (outi, outf, outi, outc, outc, outi))
     scratch = ([pltpu.SMEM((STACK_CAP,), jnp.int32),
-                pltpu.SMEM((128,), jnp.float32),
+                pltpu.SMEM((128,) if WIDE_ROWS == 1
+                           else (WIDE_ROWS, 128), jnp.float32),
                 pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                 pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA((4,))]
                + [pltpu.VMEM((sub, LANES), jnp.float32)] * 8

@@ -229,13 +229,38 @@ def _trace_kernel(num_ref, nodes_ref, npack_ref, clusters_ref,
         nz_ref[:] = sgn * fnz
 
 
-WIDE = WIDE_WIDTH  # children per wide node: one node = one 128-float row
+from raytracer_tpu.core.fast_types import WIDE_ROWS
 
-# Batcher odd-even merge sort network for 8 elements (19 comparators) —
-# used to order child pushes near-first by centroid projection.
-_NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-         (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
-         (2, 4), (3, 5), (3, 4)]
+WIDE = WIDE_WIDTH  # children per wide node (8: one 128-float row per
+#                    node; 16: two rows, node i at rows 2i, 2i+1)
+
+
+def batcher_network(n: int) -> list[tuple[int, int]]:
+    """Batcher odd-even mergesort comparator network for n a power of two
+    (19 comparators at n=8, 63 at n=16) — orders child pushes near-first
+    by centroid projection in the traversal kernels."""
+    net = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        net.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return net
+
+
+# The historical hand-written 8-network (a different but equivalent
+# 19-comparator Batcher ordering) is kept verbatim at width 8 so
+# traversal order — hence equal-t tie wins — stays bit-identical to the
+# long-measured kernel; the generator covers width 16.
+_HIST8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+          (2, 4), (3, 5), (3, 4)]
+_NET8 = _HIST8 if WIDE == 8 else batcher_network(WIDE)
 
 
 def _trace4_kernel(num_ref, npack_ref, clusters_ref,
@@ -270,7 +295,14 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
     # after the pushes, the next stack top is known, so its node-row DMA
     # starts before the leaf phase and overlaps the cluster work + loop
     # backedge; the wait sits at the next iteration's top.
-    boot = pltpu.make_async_copy(npack_ref.at[0], nrow_smem, nrow_sem)
+    def node_rows(nid):
+        """Table slice holding wide node ``nid`` (WIDE_ROWS rows)."""
+        if WIDE_ROWS == 1:
+            return npack_ref.at[nid]
+        return npack_ref.at[pl.ds(nid * WIDE_ROWS, WIDE_ROWS)]
+
+    boot = pltpu.make_async_copy(node_rows(jnp.int32(0)), nrow_smem,
+                                 nrow_sem)
     boot.start()
     boot.wait()
     have0 = jnp.any(active)
@@ -283,7 +315,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
 
         @pl.when(pending)
         def _():
-            pltpu.make_async_copy(npack_ref.at[resident], nrow_smem,
+            pltpu.make_async_copy(node_rows(resident), nrow_smem,
                                   nrow_sem).wait()
 
         closest = t_ref[:]
@@ -292,7 +324,9 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
             b = 16 * cc
 
             def g(j, b=b):
-                return nrow_smem[b + j]
+                if WIDE_ROWS == 1:
+                    return nrow_smem[b + j]
+                return nrow_smem[(b + j) // 128, (b + j) % 128]
 
             meta = g(6).astype(jnp.int32)
             lo0 = (g(0) - rox) * ivx
@@ -340,12 +374,11 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
         have2 = sp2 > 0
         sp3 = jnp.maximum(sp2 - 1, 0)
         nid2 = stack_smem[sp3]
-        row2 = nid2  # one node per packed row at WIDE=8
-        pend2 = have2 & (row2 != resident)
+        pend2 = have2 & (nid2 != resident)
 
         @pl.when(pend2)
         def _():
-            pltpu.make_async_copy(npack_ref.at[row2], nrow_smem,
+            pltpu.make_async_copy(node_rows(nid2), nrow_smem,
                                   nrow_sem).start()
 
         # Leaf phase, two passes: start every hit leaf child's cluster
@@ -453,7 +486,7 @@ def _trace4_kernel(num_ref, npack_ref, clusters_ref,
                 def _(cc=cc):
                     mt_half(cc, CLUSTER_SIZE // 2, CLUSTER_SIZE)
 
-        return have2, nid2, sp3, row2, pend2
+        return have2, nid2, sp3, nid2, pend2
 
     jax.lax.while_loop(cond, body, (have0, jnp.int32(0), jnp.int32(0),
                                     jnp.int32(0), jnp.bool_(False)))
@@ -497,7 +530,8 @@ def _trace4_call(num_nodes4, nodes4, clusters, comps, sublanes,
         out_shape=(out,) * 8,
         out_specs=(block,) * 8,
         scratch_shapes=[pltpu.SMEM((STACK4_CAP,), jnp.int32),
-                        pltpu.SMEM((128,), jnp.float32),
+                        pltpu.SMEM((128,) if WIDE_ROWS == 1
+                                   else (WIDE_ROWS, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SMEM((4, CLUSTER_ROW), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],

@@ -196,7 +196,7 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
     import jax.numpy as jnp
 
     from raytracer_tpu.core.fast_types import (
-        CLUSTER_ROW, CLUSTER_SIZE, FastScene, TRI_STRIDE)
+        CLUSTER_ROW, CLUSTER_SIZE, SUBS_PER_ROW, FastScene, TRI_STRIDE)
 
     t0 = time.perf_counter()
     verts = np.asarray(verts, np.float32)
@@ -210,7 +210,11 @@ def build_fast_scene_from_arrays(verts: np.ndarray, mats: np.ndarray,
         nodes8[:, 3:6] = -_BIG
         nodes8[:, 6] = np.full((), 1, np.int32).view(np.float32)  # skip
         nodes8[:, 7] = np.full((), 0, np.int32).view(np.float32)  # leaf 0
-        clusters = np.zeros((_MIN_CAPACITY, CLUSTER_ROW), np.float32)
+        # Match the non-empty minimum bucket's TABLE shape (lcap leaves =
+        # lcap // SUBS_PER_ROW rows) so empty and minimum scenes share a
+        # jit executable at every CLUSTER_SIZE (ADVICE r3).
+        clusters = np.zeros((_MIN_CAPACITY // SUBS_PER_ROW, CLUSTER_ROW),
+                            np.float32)
         num_nodes = 1
     else:
         bvh = build_bvh(verts, leaf_size=CLUSTER_SIZE)

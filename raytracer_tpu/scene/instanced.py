@@ -56,7 +56,7 @@ import numpy as np
 from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
                                            FastScene, LEAF_CID_BITS,
                                            LEAF_CID_MASK, TRI_STRIDE,
-                                           WIDE_WIDTH)
+                                           WIDE_ROWS, WIDE_WIDTH)
 from raytracer_tpu.utils.log import get_logger
 
 _log = get_logger("srt")
@@ -253,10 +253,12 @@ def _combine(blas_arrays, params, statics):
         meta_g = jnp.where(meta > 0, meta + i32(woffs[j]),
                            jnp.where(meta < 0, leaf_meta, 0))
         w_j = wide.shape[0]
+        # One wide node = WIDE_ROWS consecutive 128-float table rows
+        # (1 at width 8, 2 at width 16 — core/fast_types.py).
         wide_rows.append(jnp.concatenate([
             wlo, whi, meta_g.astype(jnp.float32)[:, :, None],
             jnp.zeros((w_j, WIDE_WIDTH, 9), jnp.float32)], axis=2
-        ).reshape(w_j, 128))
+        ).reshape(w_j * WIDE_ROWS, 128))
 
         # Cluster records: v0*s+p | e1*s | e2*s | albedo | type | normal.
         l_j = rec.shape[0]
@@ -334,7 +336,7 @@ def _combine(blas_arrays, params, statics):
         return jnp.concatenate(
             [slots_lo, slots_hi, metas[:, None],
              jnp.zeros((WIDE_WIDTH, 9), jnp.float32)],
-            axis=1).reshape(1, 128)
+            axis=1).reshape(WIDE_ROWS, 128)
 
     top_rows = []
     if n_top_wide == 1:
@@ -361,7 +363,7 @@ def _combine(blas_arrays, params, statics):
     wpad = wide_cap - w_total
     if wpad:
         nodes4 = jnp.concatenate(
-            [nodes4, jnp.zeros((wpad, 128), jnp.float32)])
+            [nodes4, jnp.zeros((wpad * WIDE_ROWS, 128), jnp.float32)])
 
     # Flat [l_total, CLUSTER_SIZE*16] leaf records in global cid order,
     # regrouped into 128-float table rows (SUBS_PER_ROW consecutive

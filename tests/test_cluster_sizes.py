@@ -46,24 +46,39 @@ np.save(sys.argv[1], np.asarray(img))
 """
 
 
-def _render_at(cluster: int, out_path: str) -> None:
+def _render_with(extra_env: dict, out_path: str) -> None:
     env = dict(os.environ)
-    env["RAYTPU_CLUSTER"] = str(cluster)
+    env.update(extra_env)
     env.pop("RAYTPU_TRAVERSE", None)
     res = subprocess.run(
         [sys.executable, "-c", _CHILD, out_path], env=env, cwd=_REPO,
         capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, (
-        f"CLUSTER={cluster} render failed:\n{res.stdout}\n{res.stderr}")
+        f"render failed ({extra_env}):\n{res.stdout}\n{res.stderr}")
 
 
 @pytest.mark.parametrize("cluster", [2, 4])
 def test_thin_cluster_matches_default(cluster, tmp_path):
     ref_path = str(tmp_path / "t8.npy")
     got_path = str(tmp_path / f"t{cluster}.npy")
-    _render_at(8, ref_path)
-    _render_at(cluster, got_path)
+    _render_with({"RAYTPU_CLUSTER": "8"}, ref_path)
+    _render_with({"RAYTPU_CLUSTER": str(cluster)}, got_path)
     ref = np.load(ref_path)
     got = np.load(got_path)
     assert ref.max() > 0  # scene actually visible
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_wide16_matches_default(tmp_path):
+    """RAYTPU_WIDE=16 (BVH16, two table rows per node) must render the
+    same image as the 8-wide default — traversal order differs, closest
+    hits do not. Like CLUSTER, WIDE is read at import, hence the
+    subprocess."""
+    ref_path = str(tmp_path / "w8.npy")
+    got_path = str(tmp_path / "w16.npy")
+    _render_with({"RAYTPU_WIDE": "8"}, ref_path)
+    _render_with({"RAYTPU_WIDE": "16"}, got_path)
+    ref = np.load(ref_path)
+    got = np.load(got_path)
+    assert ref.max() > 0
     np.testing.assert_allclose(got, ref, atol=2e-5)
