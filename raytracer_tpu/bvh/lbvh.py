@@ -364,21 +364,28 @@ def build_fast_scene_device(verts: jnp.ndarray,
         node_right = jnp.concatenate(
             [right, jnp.zeros((l,), jnp.int32)])           # per node id
         is_left_child = jnp.zeros((m,), bool).at[left].set(True)
-        escape = jnp.full((m,), m, jnp.int32)  # root & unresolved -> M
+        # escape(i) = sibling(i) if i is a left child, else
+        # escape(parent): i.e. the sibling at the first left-child-or-
+        # root ancestor. Resolved by POINTER DOUBLING in ceil(log2(depth))
+        # = 7 passes (depth <= 128) instead of the former 64 linear
+        # fixpoint passes — the rebuild is on the live-edit critical path.
+        escape = jnp.where(
+            is_left_child,
+            node_right[jnp.maximum(parent, 0)],
+            jnp.int32(m))                       # root/unresolved -> M
+        resolved = is_left_child | (parent < 0)
+        jump = jnp.where(resolved, -1, parent)
 
-        def esc_pass(_, esc):
-            par = parent
-            par_esc = jnp.where(par >= 0, esc[jnp.maximum(par, 0)], m)
-            sibling = jnp.where(par >= 0,
-                                node_right[jnp.maximum(par, 0)], m)
-            new = jnp.where(is_left_child, sibling, par_esc)
-            new = jnp.where(par >= 0, new, m)
-            return new
+        def esc_dbl(_, c):
+            escape, jump = c
+            j = jnp.maximum(jump, 0)
+            live = jump >= 0
+            take = live & (jump[j] < 0)          # ancestor is resolved
+            escape = jnp.where(take, escape[j], escape)
+            jump = jnp.where(live, jnp.where(take, -1, jump[j]), -1)
+            return escape, jump
 
-        # Depth of a Karras tree <= ~64 with index tie-breaks; escape of a
-        # right child depends on ancestors only through chains of right
-        # children, so depth passes converge.
-        escape = jax.lax.fori_loop(0, 64, esc_pass, escape)
+        escape, _ = jax.lax.fori_loop(0, 7, esc_dbl, (escape, jump))
 
         # Assemble [M, 8] node rows: internal 0..L-2 then leaves.
         all_lo = jnp.concatenate([int_lo, cl_lo])          # [M, 3]
