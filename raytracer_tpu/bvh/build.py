@@ -95,6 +95,18 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
     """
     import os
 
+    method = os.environ.get("RAYTPU_BVH", "sah")
+    if method == "ploc" and len(tris):
+        # Capped-leaf PLOC (bvh/ploc.py): exp35 measured x0.89-0.92 visit
+        # events vs the SAH sweep on two_humans — per r3f, visit events
+        # are the TPU frame cost.
+        try:
+            from raytracer_tpu.bvh.ploc import build_bvh_ploc
+
+            return build_bvh_ploc(tris, leaf_size=leaf_size)
+        except Exception:
+            _log.exception("PLOC build failed; falling back to SAH")
+            method = "sah"
     if os.environ.get("RAYTPU_NATIVE", "1") != "0" and len(tris):
         try:
             from raytracer_tpu import native_bridge
@@ -102,7 +114,6 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
             # Binned SAH by default when native is available (same layout,
             # ~1.5-2x fewer node visits); RAYTPU_BVH=median restores the
             # NumPy-identical reference split.
-            method = os.environ.get("RAYTPU_BVH", "sah")
             bvh = native_bridge.build_bvh(np.asarray(tris, np.float32),
                                           leaf_size, method=method)
             if bvh is not None:

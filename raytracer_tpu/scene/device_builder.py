@@ -65,15 +65,26 @@ def _assemble(meshes, params, capacity: int):
 _build_jit = jax.jit(build_fast_scene_device)
 
 
-def _assemble_and_build(meshes, params, capacity: int):
+def _build_jit_ploc():
+    from raytracer_tpu.bvh.ploc_device import build_fast_scene_device_ploc
+
+    return jax.jit(build_fast_scene_device_ploc)
+
+
+def _assemble_and_build(meshes, params, capacity: int, tree: str = "karras"):
     """Two device programs, no host roundtrip of geometry.
 
     Deliberately NOT one fused jit: the fused transform+LBVH program
     compiles ~4x slower (44 s vs 12 s at 131072 triangles) and at that
     size intermittently crashed the axon TPU worker outright; two smaller
-    programs compile fast and have not reproduced the crash."""
+    programs compile fast and have not reproduced the crash.
+
+    ``tree``: "karras" (bvh/lbvh.py, fixed Morton 8-run leaves) or
+    "ploc" (bvh/ploc_device.py, agglomerative capped leaves — exp35:
+    x0.89-0.92 visit events vs host SAH where Karras sits at x1.72)."""
     verts, mats = _assemble(meshes, params, capacity)
-    scene = _build_jit(verts, mats)
+    build = _build_jit_ploc() if tree == "ploc" else _build_jit
+    scene = build(verts, mats)
     # Degenerate padding triangles never hit, but keep the true count.
     import dataclasses
 
@@ -173,7 +184,12 @@ class DeviceSceneBuilder:
         # Round to full 128-float cluster rows (ROW_TRIS triangles), a
         # multiple of any CLUSTER_SIZE in {2, 4, 8}.
         capacity = _bucket((total + ROW_TRIS - 1) // ROW_TRIS * ROW_TRIS)
-        return _assemble_and_build(tuple(meshes), tuple(params), capacity)
+        # Topology for the on-device rebuild (RAYTPU_DEVICE_TREE): the
+        # PLOC tree walks ~1.9x fewer visit events than Karras (exp35);
+        # its rebuild runs more device iterations — A/B'd on TPU (r4b).
+        tree = os.environ.get("RAYTPU_DEVICE_TREE", "karras")
+        return _assemble_and_build(tuple(meshes), tuple(params), capacity,
+                                   tree=tree)
 
     def _try_mesh(self, inst: ModelInstance):
         try:

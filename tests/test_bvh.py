@@ -116,3 +116,81 @@ def test_degenerate_axis_padding():
     plane = assets.make_ground_plane()
     lo, hi = triangle_aabbs(plane)
     assert (hi[:, 1] - lo[:, 1] > 0).all()  # y extent padded
+
+
+def _ploc_bvh(n=300, seed=7, leaf_size=8):
+    from raytracer_tpu.bvh.ploc import build_bvh_ploc
+
+    tris = _random_tris(n, seed=seed)
+    return tris, build_bvh_ploc(tris, leaf_size=leaf_size)
+
+
+def test_ploc_invariants():
+    """PLOC build (bvh/ploc.py): order is a permutation, leaves cover all
+    triangles exactly once with 1..leaf_size fill, skip links are exact
+    pre-order escapes, internal AABBs contain their children."""
+    tris, bvh = _ploc_bvh()
+    n = tris.shape[0]
+    assert sorted(bvh.order.tolist()) == list(range(n))
+    leaf = bvh.node_ntri > 0
+    counts = bvh.node_ntri[leaf]
+    assert counts.min() >= 1 and counts.max() <= 8
+    assert counts.sum() == n
+    starts = np.sort(bvh.node_tri[leaf])
+    assert starts[0] == 0
+    assert (np.diff(starts) == counts[np.argsort(bvh.node_tri[leaf])][:-1]
+            ).all()  # leaves tile [0, n) contiguously
+
+    # Skip links: skip[i] = end of i's pre-order subtree.
+    import sys
+    sys.setrecursionlimit(10000)
+
+    def subtree_end(i):
+        if bvh.node_count[i] < 0:
+            return i + 1
+        return subtree_end(int(bvh.node_count[i]))
+
+    m = bvh.num_nodes
+    for i in range(m):
+        assert bvh.node_skip[i] == subtree_end(i)
+
+    # Containment.
+    lo, hi = triangle_aabbs(tris)
+    eps = 1e-5
+    for i in range(m):
+        if bvh.node_count[i] >= 0:
+            for c in (int(bvh.node_data[i]), int(bvh.node_count[i])):
+                assert (bvh.node_min[i] <= bvh.node_min[c] + eps).all()
+                assert (bvh.node_max[i] >= bvh.node_max[c] - eps).all()
+        else:
+            s = int(bvh.node_tri[i])
+            for t in bvh.order[s:s + int(bvh.node_ntri[i])]:
+                assert (bvh.node_min[i] <= lo[t] + eps).all()
+                assert (bvh.node_max[i] >= hi[t] - eps).all()
+
+
+def test_ploc_renders_same_image(monkeypatch):
+    """RAYTPU_BVH=ploc scene renders the same image as the default
+    builder (different tree, same closest hits)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.core.camera import Camera
+    from raytracer_tpu.core.types import RenderConfig
+    from raytracer_tpu.kernels.packet import render_linear_fast
+    from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
+
+    tris = assets.make_terrain(n=12)
+    mats = np.zeros((tris.shape[0], 4), np.float32)
+    mats[:, 0:3] = 0.6
+    ref_scene = build_fast_scene_from_arrays(tris, mats)
+    monkeypatch.setenv("RAYTPU_BVH", "ploc")
+    ploc_scene = build_fast_scene_from_arrays(tris, mats)
+
+    cfg = RenderConfig(width=32, height=24, max_bounces=3,
+                       rng_mode="reference")
+    cam = Camera(origin=(0.0, 30.0, 80.0), look_at=(0.0, 0.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=32 / 24)
+    a, _ = render_linear_fast(ref_scene, cam.uniforms(), cfg)
+    b, _ = render_linear_fast(ploc_scene, cam.uniforms(), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    assert np.asarray(a).max() > 0

@@ -271,3 +271,49 @@ def test_device_scene_builder_live_edit(tmp_path):
     # Missing model skipped.
     s3 = b.build([ModelInstance("/missing.obj"), inst])
     assert int(s3.num_triangles) == 12
+
+
+def test_device_ploc_build_renders_same_image():
+    """On-device PLOC build (bvh/ploc_device.py) renders the same image
+    as the host builder — different tree, same closest hits."""
+    from raytracer_tpu.bvh.ploc_device import build_fast_scene_device_ploc
+
+    verts, mats = _scene_arrays()
+    host_scene = build_fast_scene_from_arrays(verts, mats)
+    pverts, pmats = pad_to_cluster_multiple(verts, mats)
+    dev_scene = jax.jit(build_fast_scene_device_ploc)(
+        jnp.asarray(pverts), jnp.asarray(pmats))
+
+    cfg = RenderConfig(width=32, height=24)
+    cam = Camera(origin=(-10.0, 6.0, 30.0), look_at=(0.0, -6.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=32 / 24)
+    a, _ = render_linear_fast(host_scene, cam.uniforms(), cfg)
+    b, _ = render_linear_fast(dev_scene, cam.uniforms(), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_device_ploc_edit_stable():
+    """Edits at the same capacity reuse the compiled PLOC executable and
+    produce valid trees (leaf fills 1..CLUSTER_SIZE, all tris covered)."""
+    from raytracer_tpu.bvh.ploc_device import build_fast_scene_device_ploc
+    from raytracer_tpu.core.fast_types import LEAF_CID_BITS, LEAF_CID_MASK
+
+    verts, mats = _scene_arrays()
+    verts, mats = pad_to_cluster_multiple(verts, mats)
+    build = jax.jit(build_fast_scene_device_ploc)
+    s1 = build(jnp.asarray(verts), jnp.asarray(mats))
+    after_first = build._cache_size()
+    moved = verts + np.array([0.0, 2.0, 0.0], np.float32)
+    s2 = build(jnp.asarray(moved), jnp.asarray(mats))
+    assert build._cache_size() == after_first
+
+    # Wide-leaf metas cover every triangle exactly once.
+    wide = np.asarray(s1.nodes4)[:int(s1.num_nodes4)]
+    metas = wide.reshape(-1, 8, 16)[:, :, 6].astype(np.int64)
+    leaf = metas < 0
+    enc = -metas[leaf] - 1
+    cids = enc & LEAF_CID_MASK
+    cnts = (enc >> LEAF_CID_BITS) + 1
+    assert len(np.unique(cids)) == len(cids)  # each leaf referenced once
+    assert cnts.min() >= 1 and cnts.max() <= 8
+    assert cnts.sum() == verts.shape[0]
