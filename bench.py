@@ -192,14 +192,35 @@ def main():
     # stops (progressive RNG varies the segment count frame to frame).
     from raytracer_tpu.utils.profiler import device_trace
 
+    # RAYTPU_BENCH_CHAIN=k (static modes only): render k progressive
+    # frames per dispatch via lax.scan (engine/renderer.render_chain) —
+    # amortizes per-dispatch host/tunnel overhead, the dominant cost on
+    # small fixed-light frames (c12_cube).
+    chain = int(os.environ.get("RAYTPU_BENCH_CHAIN", "1"))
+    if chain > 1 and per_frame is None:
+        assert n_frames % chain == 0, "frames must divide by the chain"
+        # Warm the chained executable too.
+        accum2, img, _ = renderer.render_chain(scene, cam,
+                                               renderer.new_accumulator(),
+                                               chain)
+        np.asarray(img)
+
     frame_stats = []
     t0 = time.perf_counter()
     # RAYTPU_TRACE_DIR=<dir> wraps the timed loop in a jax.profiler trace.
     with device_trace(os.environ.get("RAYTPU_TRACE_DIR")):
-        for _ in range(n_frames):
-            cam.increment_frame_count()
-            accum, img, stats = frame(accum)
-            frame_stats.append(stats)
+        if chain > 1 and per_frame is None:
+            for _ in range(n_frames // chain):
+                accum, img, stats = renderer.render_chain(scene, cam,
+                                                          accum, chain)
+                for _k in range(chain):
+                    cam.increment_frame_count()
+                frame_stats.append(stats)  # rays_traced is per-frame mean
+        else:
+            for _ in range(n_frames):
+                cam.increment_frame_count()
+                accum, img, stats = frame(accum)
+                frame_stats.append(stats)
         np.asarray(img)  # force
     dt = (time.perf_counter() - t0) / n_frames
 

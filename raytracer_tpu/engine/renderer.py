@@ -161,6 +161,32 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
     return new_accum, image, stats
 
 
+def _render_chain(scene, cam, accum, *, cfg, k):
+    """k progressive frames in ONE jitted program (lax.scan over the
+    frame step, frame_count advancing per step) — the XLA answer to
+    per-dispatch host/tunnel overhead for throughput workloads (headless
+    accumulation, benches). Intermediate tonemaps are dead code the
+    compiler drops; the image is tonemapped once from the final
+    accumulator. Returns (accum', image, stats) with stats averaged
+    per frame so callers treat a chain like a frame."""
+    import dataclasses
+
+    def body(carry, _):
+        acc, fc, rays = carry
+        cam_i = dataclasses.replace(cam, frame_count=fc)
+        acc2, _img, stats = _render_step(scene, cam_i, acc, cfg=cfg)
+        return (acc2, fc + 1, rays + stats["rays_traced"]), None
+
+    (accum, fc, rays), _ = jax.lax.scan(
+        body, (accum, cam.frame_count, jnp.float32(0.0)), None, length=k)
+    image = tonemap(accum, cam.exposure)
+    stats = {
+        "rays_traced": rays / k,
+        "samples": fc.astype(jnp.float32) * cfg.samples_per_pixel,
+    }
+    return accum, image, stats
+
+
 class Renderer:
     """Compiled render-step cache + accumulation buffer lifecycle."""
 
@@ -170,6 +196,7 @@ class Renderer:
             functools.partial(_render_step, cfg=self.cfg),
             donate_argnums=(2,),
         )
+        self._chains: dict[int, object] = {}
 
     def new_accumulator(self) -> jnp.ndarray:
         return jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
@@ -184,6 +211,21 @@ class Renderer:
         if accum is None:
             accum = self.new_accumulator()
         return self._step(scene, cam, accum)
+
+    def render_chain(self, scene: GpuScene, cam: CameraUniforms,
+                     accum: Optional[jnp.ndarray], k: int):
+        """k progressive frames in one dispatch (see _render_chain);
+        the caller's frame counter should advance by k afterwards."""
+        step = self._chains.get(k)
+        if step is None:
+            step = jax.jit(
+                functools.partial(_render_chain, cfg=self.cfg, k=k),
+                donate_argnums=(2,),
+            )
+            self._chains[k] = step
+        if accum is None:
+            accum = self.new_accumulator()
+        return step(scene, cam, accum)
 
     def render_to_numpy(self, scene, cam, accum=None):
         accum, image, stats = self.render(scene, cam, accum)

@@ -116,3 +116,31 @@ def test_scene_edit_reuses_bucket_no_recompile(tiny_scene):
 
     r.render(edited, cam.uniforms())
     assert r._step._cache_size() == n0
+
+
+def test_render_chain_matches_sequential():
+    """render_chain (k frames per dispatch via lax.scan) must produce a
+    bit-identical accumulator and image to k sequential render() calls —
+    it only amortizes dispatch overhead (engine/renderer._render_chain)."""
+    from raytracer_tpu.scene.builder import build_fast_scene_from_arrays
+    from raytracer_tpu.utils import assets
+
+    tris = assets.make_terrain(n=8)
+    mats = np.zeros((tris.shape[0], 4), np.float32)
+    mats[:, 0:3] = 0.6
+    scene = build_fast_scene_from_arrays(tris, mats)
+    cfg = RenderConfig(width=32, height=24, max_bounces=3)
+    cam = Camera(origin=(0.0, 30.0, 80.0), look_at=(0.0, 0.0, 0.0),
+                 vfov_deg=40.0, aspect_ratio=32 / 24)
+    r = Renderer(cfg)
+
+    accum = None
+    for fc in range(4):
+        cam.frame_count = fc
+        accum, img_seq, _ = r.render(scene, cam.uniforms(), accum)
+
+    cam.frame_count = 0
+    accum2, img_ch, stats = r.render_chain(scene, cam.uniforms(), None, 4)
+    np.testing.assert_array_equal(np.asarray(accum), np.asarray(accum2))
+    np.testing.assert_array_equal(np.asarray(img_seq), np.asarray(img_ch))
+    assert float(stats["samples"]) == 4.0
