@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-4 sweep C (after r4b decides the PLOC defaults):
+#   1. exp26 keypress latency with the new engine instrumentation
+#      (VERDICT item 5: sustained < 150 ms at 720p, ladder on)
+#   2. car_1080p band-count re-sweep at the new tree (VERDICT item 6)
+#   3. fresh flagship device trace at the winner config
+# Usage: optionally prefix with RAYTPU_BVH=ploc (exported) if r4b wins.
+cd "$(dirname "$0")/.."
+source experiments/sweeplib.sh experiments/r4c_sweep.log
+
+run_cmd exp26_latency -- python experiments/exp26_keypress_latency.py
+
+run warmup_discard RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
+
+# Band sweep: 1080p row-tiles = 135; divisors -> bands of rays.
+# 0 = one band (2.07M rays); 414720 = 5 bands (the r3c winner);
+# 518400 = 4; 345600 = 6; 230400 = 9.
+run car_band5 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_BAND=414720
+run car_band4 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_BAND=518400
+run car_band6 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_BAND=345600
+run car_band3 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_BAND=691200
+run car_chain4 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_CHAIN=4
+
+# Fresh anatomy at the winner config.
+run trace_flagship RAYTPU_BENCH_FRAMES=8 RAYTPU_TRACE_DIR=/tmp/rtrace_r4
+run_cmd parse_trace -- python experiments/parse_trace.py /tmp/rtrace_r4 24
+
+finish
