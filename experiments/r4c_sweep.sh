@@ -25,4 +25,8 @@ run car_chain4 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p RAYTPU_BENCH_CH
 run trace_flagship RAYTPU_BENCH_FRAMES=8 RAYTPU_TRACE_DIR=/tmp/rtrace_r4
 run_cmd parse_trace -- python experiments/parse_trace.py /tmp/rtrace_r4 24
 
+# Price the MXU one-hot compaction primitives (the unpriced divergence
+# idea; build the kernel iff the printed ratio < ~0.6).
+run_cmd exp36_mxu -- python experiments/exp36_mxu_compact.py
+
 finish

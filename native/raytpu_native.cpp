@@ -873,6 +873,321 @@ int64_t rt_build_bvh_sbvh(const float* tris, int64_t n, int32_t leaf_size,
 }
 
 // ---------------------------------------------------------------------------
+// PLOC build (Meister & Bittner 2018) with capped agglomerative leaves —
+// the native twin of bvh/ploc.py, replicating its exact semantics (same
+// Morton quantization, same candidate scan order d1-fwd, d1-bwd, d2-fwd,
+// ..., strict-< tie-breaks, mutual-pair merges) so both builders emit the
+// SAME tree. exp35: 0.89-0.92x visit events vs the binned-SAH sweep on
+// two_humans — leaf CONTENT (capped agglomeration instead of fixed
+// Morton runs) is most of the win. Outputs/layout = rt_build_bvh_sah;
+// node count (2*L-1, L = data-dependent leaf count) is returned, caller
+// allocates the 2*n-1 worst case.
+// ---------------------------------------------------------------------------
+}  // extern "C" (the round helper below is a template — C++ linkage)
+
+namespace {
+
+inline uint64_t ploc_expand_bits(uint64_t v) {
+  v = (v * 0x00010001ULL) & 0xFF0000FFULL;
+  v = (v * 0x00000101ULL) & 0x0F00F00FULL;
+  v = (v * 0x00000011ULL) & 0xC30C30C3ULL;
+  v = (v * 0x00000005ULL) & 0x49249249ULL;
+  return v;
+}
+
+inline float ploc_sa(const float* lo, const float* hi) {
+  float dx = std::max(0.0f, hi[0] - lo[0]);
+  float dy = std::max(0.0f, hi[1] - lo[1]);
+  float dz = std::max(0.0f, hi[2] - lo[2]);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+// One mutual-merge round over the first n active slots. best_j uses the
+// candidate order d=1 fwd, d=1 bwd, d=2 fwd, ... with strict < (matches
+// the NumPy vector scan). Returns the number of merges applied via the
+// `merge` callback (called with left slot i and right slot j = best[i],
+// i < j); the caller then compacts.
+template <typename CostFn, typename MergeFn>
+int64_t ploc_round(int64_t n, int window, CostFn cost, MergeFn merge,
+                   std::vector<int64_t>& best) {
+  const int w = static_cast<int>(std::min<int64_t>(window, n - 1));
+  best.assign(n, -1);
+  std::vector<float> bc(n, INFINITY);
+  std::vector<float> cd(n);
+  for (int d = 1; d <= w; ++d) {
+    // Two passes per distance, forward ends first, matching the NumPy
+    // vector scan's tie order (strict <, first-seen wins): candidate
+    // priority for a slot is d1-fwd, d1-bwd, d2-fwd, ...
+    for (int64_t i = 0; i + d < n; ++i) {
+      cd[i] = cost(i, i + d);
+      if (cd[i] < bc[i]) { bc[i] = cd[i]; best[i] = i + d; }
+    }
+    for (int64_t i = 0; i + d < n; ++i) {
+      if (cd[i] < bc[i + d]) { bc[i + d] = cd[i]; best[i + d] = i; }
+    }
+  }
+  int64_t merged = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t j = best[i];
+    if (j > i && best[j] == i) {
+      merge(i, j);
+      ++merged;
+    }
+  }
+  return merged;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rt_build_bvh_ploc(const float* tris, int64_t n, int32_t leaf_size,
+                          int32_t window,
+                          float* node_min, float* node_max,
+                          int32_t* node_tri, int32_t* node_ntri,
+                          int32_t* node_skip, int32_t* node_data,
+                          int32_t* node_count, int64_t* order) {
+  if (n <= 0 || leaf_size < 1) return -1;
+
+  // AABBs (epsilon-padded) + scene bounds.
+  std::vector<float> lo(n * 3), hi(n * 3);
+  float smin[3] = {INFINITY, INFINITY, INFINITY};
+  float smax[3] = {-INFINITY, -INFINITY, -INFINITY};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      float a = tris[i * 9 + 0 + ax];
+      float b = tris[i * 9 + 3 + ax];
+      float c = tris[i * 9 + 6 + ax];
+      float mn = std::min(a, std::min(b, c));
+      float mx = std::max(a, std::max(b, c));
+      if (mx - mn < kAabbEps) {
+        mn -= kAabbEps;
+        mx += kAabbEps;
+      }
+      lo[i * 3 + ax] = mn;
+      hi[i * 3 + ax] = mx;
+      smin[ax] = std::min(smin[ax], mn);
+      smax[ax] = std::max(smax[ax], mx);
+    }
+  }
+
+  // Morton order of centroids (f32 math matches bvh/ploc.morton_order).
+  std::vector<uint64_t> code(n);
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t bits[3];
+    for (int ax = 0; ax < 3; ++ax) {
+      float ext = std::max(smax[ax] - smin[ax], 1e-12f);
+      float ctr = 0.5f * (lo[i * 3 + ax] + hi[i * 3 + ax]);
+      float u = (ctr - smin[ax]) / ext;
+      float q = std::min(std::max(u * 1024.0f, 0.0f), 1023.0f);
+      bits[ax] = ploc_expand_bits(static_cast<uint64_t>(q));
+    }
+    code[i] = (bits[0] << 2) | (bits[1] << 1) | bits[2];
+  }
+  std::vector<int64_t> mo(n);
+  for (int64_t i = 0; i < n; ++i) mo[i] = i;
+  std::stable_sort(mo.begin(), mo.end(),
+                   [&](int64_t a, int64_t b) { return code[a] < code[b]; });
+
+  // Active-slot state (phase 1: capped agglomeration over singletons).
+  // Member lists ride an intrusive linked list over sorted positions.
+  std::vector<float> clo(n * 3), chi(n * 3);
+  std::vector<int64_t> cnt(n, 1), head(n), tail(n), nxt(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      clo[i * 3 + ax] = lo[mo[i] * 3 + ax];
+      chi[i * 3 + ax] = hi[mo[i] * 3 + ax];
+    }
+    head[i] = tail[i] = i;
+  }
+  std::vector<int64_t> best;
+  int64_t m_act = n;
+  while (m_act > 1) {
+    int64_t merged = ploc_round(
+        m_act, window,
+        [&](int64_t i, int64_t j) {
+          if (cnt[i] + cnt[j] > leaf_size) return INFINITY;
+          float u_lo[3], u_hi[3];
+          for (int ax = 0; ax < 3; ++ax) {
+            u_lo[ax] = std::min(clo[i * 3 + ax], clo[j * 3 + ax]);
+            u_hi[ax] = std::max(chi[i * 3 + ax], chi[j * 3 + ax]);
+          }
+          return ploc_sa(u_lo, u_hi);
+        },
+        [&](int64_t i, int64_t j) {
+          nxt[tail[i]] = head[j];
+          tail[i] = tail[j];
+          cnt[i] += cnt[j];
+          for (int ax = 0; ax < 3; ++ax) {
+            clo[i * 3 + ax] = std::min(clo[i * 3 + ax], clo[j * 3 + ax]);
+            chi[i * 3 + ax] = std::max(chi[i * 3 + ax], chi[j * 3 + ax]);
+          }
+          cnt[j] = -1;  // dead marker
+        },
+        best);
+    if (!merged) break;
+    int64_t out = 0;
+    for (int64_t i = 0; i < m_act; ++i) {
+      if (cnt[i] < 0) continue;
+      if (out != i) {
+        cnt[out] = cnt[i];
+        head[out] = head[i];
+        tail[out] = tail[i];
+        for (int ax = 0; ax < 3; ++ax) {
+          clo[out * 3 + ax] = clo[i * 3 + ax];
+          chi[out * 3 + ax] = chi[i * 3 + ax];
+        }
+      }
+      ++out;
+    }
+    m_act = out;
+  }
+
+  const int64_t l = m_act;  // leaf count
+  // Resolve member lists into the flattened triangle order (leaf-major).
+  std::vector<int64_t> leaf_start(l), leaf_cnt(l);
+  std::vector<int64_t> ord(n);
+  int64_t at = 0;
+  for (int64_t i = 0; i < l; ++i) {
+    leaf_start[i] = at;
+    leaf_cnt[i] = cnt[i];
+    for (int64_t node = head[i]; node >= 0; node = nxt[node])
+      ord[at++] = mo[node];
+  }
+  if (at != n) return -1;
+
+  if (l == 1) {
+    for (int ax = 0; ax < 3; ++ax) {
+      node_min[ax] = clo[ax];
+      node_max[ax] = chi[ax];
+    }
+    node_tri[0] = 0;
+    node_ntri[0] = static_cast<int32_t>(n);
+    node_skip[0] = 1;
+    node_data[0] = -1;
+    node_count[0] = -1;
+    std::copy(ord.begin(), ord.end(), order);
+    return 1;
+  }
+
+  // Phase 2: unrestricted PLOC over the leaves to the root, recording
+  // topology at creation index (remapped below so the root is node 0).
+  // node ids during clustering: leaf k -> (l-1)+k, internal -> creation
+  // index (disjoint: creation < l-1).
+  std::vector<int64_t> nid(l), left(l - 1), right(l - 1);
+  std::vector<float> ilo((l - 1) * 3), ihi((l - 1) * 3);
+  for (int64_t i = 0; i < l; ++i) nid[i] = (l - 1) + i;
+  std::vector<float> plo(clo.begin(), clo.begin() + l * 3);
+  std::vector<float> phi(chi.begin(), chi.begin() + l * 3);
+  std::vector<int64_t> alive(l, 1);
+  int64_t created = 0;
+  m_act = l;
+  while (m_act > 1) {
+    int64_t merged = ploc_round(
+        m_act, window,
+        [&](int64_t i, int64_t j) {
+          float u_lo[3], u_hi[3];
+          for (int ax = 0; ax < 3; ++ax) {
+            u_lo[ax] = std::min(plo[i * 3 + ax], plo[j * 3 + ax]);
+            u_hi[ax] = std::max(phi[i * 3 + ax], phi[j * 3 + ax]);
+          }
+          return ploc_sa(u_lo, u_hi);
+        },
+        [&](int64_t i, int64_t j) {
+          left[created] = nid[i];
+          right[created] = nid[j];
+          for (int ax = 0; ax < 3; ++ax) {
+            float a = std::min(plo[i * 3 + ax], plo[j * 3 + ax]);
+            float b = std::max(phi[i * 3 + ax], phi[j * 3 + ax]);
+            ilo[created * 3 + ax] = a;
+            ihi[created * 3 + ax] = b;
+            plo[i * 3 + ax] = a;
+            phi[i * 3 + ax] = b;
+          }
+          nid[i] = created++;
+          alive[j] = 0;
+        },
+        best);
+    if (!merged) return -1;  // mutual min pair always exists
+    int64_t out = 0;
+    for (int64_t i = 0; i < m_act; ++i) {
+      if (!alive[i]) { alive[i] = 1; continue; }
+      if (out != i) {
+        nid[out] = nid[i];
+        for (int ax = 0; ax < 3; ++ax) {
+          plo[out * 3 + ax] = plo[i * 3 + ax];
+          phi[out * 3 + ax] = phi[i * 3 + ax];
+        }
+      }
+      ++out;
+    }
+    m_act = out;
+  }
+
+  // Remap creation index c -> internal id (l-2)-c (root = 0); subtree
+  // sizes for pre-order skips; then flatten (rt_build_bvh_sah layout).
+  auto remap = [&](int64_t x) { return x >= l - 1 ? x : (l - 2) - x; };
+  std::vector<int64_t> fl(l - 1), fr(l - 1), sz(l - 1, 0);
+  std::vector<float> flo((l - 1) * 3), fhi((l - 1) * 3);
+  for (int64_t c = 0; c < l - 1; ++c) {
+    int64_t fin = (l - 2) - c;
+    fl[fin] = remap(left[c]);
+    fr[fin] = remap(right[c]);
+    for (int ax = 0; ax < 3; ++ax) {
+      flo[fin * 3 + ax] = ilo[c * 3 + ax];
+      fhi[fin * 3 + ax] = ihi[c * 3 + ax];
+    }
+  }
+  // Children were created before their parent, so creation order is a
+  // valid bottom-up order: fill sizes in decreasing final id.
+  auto child_sz = [&](int64_t g) {
+    return g >= l - 1 ? int64_t{1} : sz[g];
+  };
+  for (int64_t fin = l - 2; fin >= 0; --fin)
+    sz[fin] = child_sz(fl[fin]) + child_sz(fr[fin]) + 1;
+
+  const int64_t m = 2 * l - 1;
+  struct FI {
+    int64_t g, skip;
+  };
+  std::vector<FI> fstack;
+  fstack.push_back({0, m});
+  int64_t next_node = 0;
+  while (!fstack.empty()) {
+    FI f = fstack.back();
+    fstack.pop_back();
+    const int64_t my = next_node++;
+    node_skip[my] = static_cast<int32_t>(f.skip);
+    if (f.g >= l - 1) {  // leaf
+      const int64_t li = f.g - (l - 1);
+      for (int ax = 0; ax < 3; ++ax) {
+        node_min[my * 3 + ax] = clo[li * 3 + ax];
+        node_max[my * 3 + ax] = chi[li * 3 + ax];
+      }
+      node_tri[my] = static_cast<int32_t>(leaf_start[li]);
+      node_ntri[my] = static_cast<int32_t>(leaf_cnt[li]);
+      node_data[my] = -static_cast<int32_t>(leaf_start[li] + 1);
+      node_count[my] = -1;
+    } else {
+      for (int ax = 0; ax < 3; ++ax) {
+        node_min[my * 3 + ax] = flo[f.g * 3 + ax];
+        node_max[my * 3 + ax] = fhi[f.g * 3 + ax];
+      }
+      const int64_t right_at = my + 1 + child_sz(fl[f.g]);
+      node_tri[my] = -1;
+      node_ntri[my] = 0;
+      node_data[my] = static_cast<int32_t>(my + 1);
+      node_count[my] = static_cast<int32_t>(right_at);
+      fstack.push_back({fr[f.g], f.skip});
+      fstack.push_back({fl[f.g], right_at});
+    }
+  }
+  if (next_node != m) return -1;
+  std::copy(ord.begin(), ord.end(), order);
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // Cluster packing for the packet tracer (FastScene layout): leaves of the
 // (leaf_size=8) BVH into [L, 128] rows of 8x16 floats
 // (v0, e1=v1-v0, e2=v2-v0, albedo, type, unit geometric normal), using the

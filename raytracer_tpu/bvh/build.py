@@ -96,17 +96,6 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
     import os
 
     method = os.environ.get("RAYTPU_BVH", "sah")
-    if method == "ploc" and len(tris):
-        # Capped-leaf PLOC (bvh/ploc.py): exp35 measured x0.89-0.92 visit
-        # events vs the SAH sweep on two_humans — per r3f, visit events
-        # are the TPU frame cost.
-        try:
-            from raytracer_tpu.bvh.ploc import build_bvh_ploc
-
-            return build_bvh_ploc(tris, leaf_size=leaf_size)
-        except Exception:
-            _log.exception("PLOC build failed; falling back to SAH")
-            method = "sah"
     if os.environ.get("RAYTPU_NATIVE", "1") != "0" and len(tris):
         try:
             from raytracer_tpu import native_bridge
@@ -120,6 +109,17 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
                 return bvh
         except Exception:
             _log.exception("native BVH build failed; using NumPy")
+    if method == "ploc" and len(tris):
+        # NumPy fallback of the capped-leaf PLOC (bvh/ploc.py; the native
+        # builder above emits the identical tree): exp35 measured
+        # x0.89-0.92 visit events vs the SAH sweep — per r3f, visit
+        # events are the TPU frame cost.
+        try:
+            from raytracer_tpu.bvh.ploc import build_bvh_ploc
+
+            return build_bvh_ploc(tris, leaf_size=leaf_size)
+        except Exception:
+            _log.exception("PLOC build failed; falling back to median")
     return build_bvh_numpy(tris, leaf_size)
 
 

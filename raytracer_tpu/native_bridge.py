@@ -76,6 +76,10 @@ def _load():
         lib.rt_build_bvh_sbvh.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
+        lib.rt_build_bvh_ploc.restype = ctypes.c_int64
+        lib.rt_build_bvh_ploc.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            f32p, f32p, i32p, i32p, i32p, i32p, i32p, i64p]
         lib.rt_pack_clusters.restype = None
         lib.rt_pack_clusters.argtypes = [
             f32p, f32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
@@ -130,7 +134,7 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1,
     if method == "sbvh":
         max_refs = n + max(n * 3 // 4, 64)  # duplication budget
         m_cap = 2 * max_refs - 1
-    elif method == "sah":
+    elif method in ("sah", "ploc"):
         m_cap = 2 * n - 1  # worst case; actual count returned
         fn = lib.rt_build_bvh_sah
     else:
@@ -149,12 +153,17 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1,
             tris.reshape(-1), n, leaf_size, max_refs,
             node_min.reshape(-1), node_max.reshape(-1),
             node_tri, node_ntri, node_skip, node_data, node_count, order))
+    elif method == "ploc":
+        m = int(lib.rt_build_bvh_ploc(
+            tris.reshape(-1), n, leaf_size, 8,  # window (exp35 W sweep)
+            node_min.reshape(-1), node_max.reshape(-1),
+            node_tri, node_ntri, node_skip, node_data, node_count, order))
     else:
         m = int(fn(tris.reshape(-1), n, leaf_size,
                    node_min.reshape(-1), node_max.reshape(-1),
                    node_tri, node_ntri, node_skip, node_data, node_count,
                    order))
-    if m <= 0 or (method not in ("sah", "sbvh") and m != m_cap):
+    if m <= 0 or (method not in ("sah", "sbvh", "ploc") and m != m_cap):
         raise RuntimeError(f"native BVH build failed (m={m})")
     n_refs = int(node_ntri[:m][node_tri[:m] >= 0].sum()) \
         if method == "sbvh" else n

@@ -133,3 +133,27 @@ def test_bvh_renders_identically():
     a, _ = render_linear_fast(scene_native, cam.uniforms(), cfg)
     b, _ = render_linear_fast(scene_py, cam.uniforms(), cfg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_native_ploc_matches_numpy():
+    """rt_build_bvh_ploc replicates bvh/ploc.py exactly (same Morton
+    quantization, candidate scan order, strict-< tie-breaks) — the trees
+    must be IDENTICAL, not merely equivalent."""
+    from raytracer_tpu import native_bridge
+    from raytracer_tpu.bvh.ploc import build_bvh_ploc
+
+    if not native_bridge.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    scenes = [rng.normal(size=(300, 3, 3)).astype(np.float32) * 5,
+              assets.make_terrain(n=20).astype(np.float32)]
+    for tris in scenes:
+        a = build_bvh_ploc(tris, leaf_size=8)
+        b = native_bridge.build_bvh(tris, leaf_size=8, method="ploc")
+        assert a.num_nodes == b.num_nodes
+        np.testing.assert_array_equal(a.node_skip, b.node_skip)
+        np.testing.assert_array_equal(a.node_tri, b.node_tri)
+        np.testing.assert_array_equal(a.node_ntri, b.node_ntri)
+        np.testing.assert_array_equal(a.order, b.order)
+        np.testing.assert_array_equal(a.node_min, b.node_min)
+        np.testing.assert_array_equal(a.node_max, b.node_max)
