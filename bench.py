@@ -200,7 +200,7 @@ def main():
     if chain > 1 and per_frame is None:
         assert n_frames % chain == 0, "frames must divide by the chain"
         # Warm the chained executable too.
-        accum2, img, _ = renderer.render_chain(scene, cam,
+        accum2, img, _ = renderer.render_chain(scene, cam.uniforms(),
                                                renderer.new_accumulator(),
                                                chain)
         np.asarray(img)
@@ -211,7 +211,8 @@ def main():
     with device_trace(os.environ.get("RAYTPU_TRACE_DIR")):
         if chain > 1 and per_frame is None:
             for _ in range(n_frames // chain):
-                accum, img, stats = renderer.render_chain(scene, cam,
+                accum, img, stats = renderer.render_chain(scene,
+                                                          cam.uniforms(),
                                                           accum, chain)
                 for _k in range(chain):
                     cam.increment_frame_count()

@@ -10,6 +10,16 @@ source experiments/sweeplib.sh experiments/r4c_sweep.log
 
 run_cmd exp26_latency -- python experiments/exp26_keypress_latency.py
 
+# c12 chain A/B (re-run: the r4b cells hit the bench chain-arg bug,
+# fixed since — renderer.render_chain wants uniforms, not the Camera).
+run c12_ctrl RAYTPU_BENCH_FRAMES=32 RAYTPU_BENCH_MODE=c12_cube
+run c12_chain4 RAYTPU_BENCH_FRAMES=32 RAYTPU_BENCH_MODE=c12_cube RAYTPU_BENCH_CHAIN=4
+run c12_chain16 RAYTPU_BENCH_FRAMES=32 RAYTPU_BENCH_MODE=c12_cube RAYTPU_BENCH_CHAIN=16
+run flagship_chain4 RAYTPU_BENCH_FRAMES=16 RAYTPU_BENCH_CHAIN=4
+
+# Device-rebuild cost breakdown (the r4b lbvh_ploc 0.77 FPS post-mortem).
+run_cmd exp37_build_cost -- python experiments/exp37_device_build_cost.py
+
 run warmup_discard RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
 
 # Band sweep: 1080p row-tiles = 135; divisors -> bands of rays.
