@@ -68,6 +68,11 @@ def main():
                        kernel="packet", samples_per_pixel=spp)
 
     shapes = [(1, 1), (2, 1), (4, 1), (8, 1), (4, 2), (2, 4), (1, 8)]
+    if os.environ.get("EXP22_SHAPES"):
+        # e.g. EXP22_SHAPES=1x1,2x1,8x1,2x4 — trim the grid for the
+        # flagship-scale run (48.9k tris on one physical core is slow).
+        shapes = [tuple(int(v) for v in s.split("x"))
+                  for s in os.environ["EXP22_SHAPES"].split(",")]
     results = []
     for dp, sp in shapes:
         n = dp * sp
