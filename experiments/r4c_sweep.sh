@@ -17,8 +17,17 @@ run c12_chain4 RAYTPU_BENCH_FRAMES=32 RAYTPU_BENCH_MODE=c12_cube RAYTPU_BENCH_CH
 run c12_chain16 RAYTPU_BENCH_FRAMES=32 RAYTPU_BENCH_MODE=c12_cube RAYTPU_BENCH_CHAIN=16
 run flagship_chain4 RAYTPU_BENCH_FRAMES=16 RAYTPU_BENCH_CHAIN=4
 
-# Device-rebuild cost breakdown (the r4b lbvh_ploc 0.77 FPS post-mortem).
+# Device-rebuild cost breakdown (the r4b lbvh_ploc 0.77 FPS post-mortem:
+# _build_jit_ploc returned a FRESH jit wrapper per build -> per-frame
+# retrace+recompile; fixed, exp37 measures the true device costs).
 run_cmd exp37_build_cost -- python experiments/exp37_device_build_cost.py
+
+# Re-bench lbvh_ploc with the cached wrapper (r4b cell was the bug).
+run two_humans_lbvh_ploc2 RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=two_humans RAYTPU_DEVICE_BUILD=lbvh RAYTPU_DEVICE_TREE=ploc
+
+# Deeper chain on c12 (chain16 = 153 FPS, RTT still ~2.3 ms/frame at 2
+# dispatches per 32 frames — one more halving on the table).
+run c12_chain32 RAYTPU_BENCH_FRAMES=64 RAYTPU_BENCH_MODE=c12_cube RAYTPU_BENCH_CHAIN=32
 
 run warmup_discard RAYTPU_BENCH_FRAMES=8 RAYTPU_BENCH_MODE=car_1080p
 

@@ -65,7 +65,11 @@ def _assemble(meshes, params, capacity: int):
 _build_jit = jax.jit(build_fast_scene_device)
 
 
+@functools.cache
 def _build_jit_ploc():
+    # Cached: a fresh jax.jit wrapper per build retraces (and recompiles)
+    # the whole PLOC program every frame — the r4b lbvh_ploc 0.77 FPS was
+    # dominated by exactly that, not by device build cost (exp37).
     from raytracer_tpu.bvh.ploc_device import build_fast_scene_device_ploc
 
     return jax.jit(build_fast_scene_device_ploc)
