@@ -79,12 +79,16 @@ def triangle_aabbs(tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lo.astype(np.float32), hi.astype(np.float32)
 
 
-def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
+def build_bvh(tris: np.ndarray, leaf_size: int = 1,
+              method: str | None = None) -> HostBVH:
     """Build + flatten in one pass.
 
     Args:
       tris: f32[T, 3, 3] triangle soup (already instance-transformed).
       leaf_size: max triangles per leaf.
+      method: split policy override ("sah"/"sbvh"/"ploc"/"median");
+        defaults to the RAYTPU_BVH env knob (callers like the refit
+        topology capture pick their own default, scene/refit.py).
     Returns:
       HostBVH whose ``order`` reorders triangles into flattened (leaf) order,
       the analogue of ``BVHFlattener.flattenedTriangles``.
@@ -95,7 +99,8 @@ def build_bvh(tris: np.ndarray, leaf_size: int = 1) -> HostBVH:
     """
     import os
 
-    method = os.environ.get("RAYTPU_BVH", "sah")
+    if method is None:
+        method = os.environ.get("RAYTPU_BVH", "sah")
     if os.environ.get("RAYTPU_NATIVE", "1") != "0" and len(tris):
         try:
             from raytracer_tpu import native_bridge

@@ -46,7 +46,8 @@ STACK_CAP = 256
 
 def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
               cluster_counts: np.ndarray | None = None,
-              return_depth: bool = False):
+              return_depth: bool = False,
+              return_slots: bool = False):
     """Collapse pre-order binary ``nodes8`` into BVH-``width`` arrays.
 
     Args:
@@ -63,8 +64,13 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
       return_depth: also return the wide-tree depth (max_depth + 1) so a
         caller that grafts this table under extra levels (the instanced
         TLAS, scene/instanced.py) can re-check the SMEM stack bound.
+      return_slots: also return i32[n_wide, width] of the BINARY node row
+        each slot's bounds came from (-1 = empty slot) — the static
+        topology map the per-frame device refit gathers fresh AABBs
+        through (scene/refit.py).
     Returns:
-      (packed f32[R, 128], n_wide[, depth]): R = ceil(n_wide*width/16).
+      (packed f32[R, 128], n_wide[, depth][, slot_rows]):
+      R = ceil(n_wide*width/16).
     """
     nodes = np.asarray(nodes8)[:num_nodes]
     links = nodes[:, 6:8].view(np.int32)
@@ -102,16 +108,16 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
         ent = []
         for s in slots:
             if col7[s] >= 0:
-                ent.append(("leaf", int(col7[s]), nodes[s, :6]))
+                ent.append(("leaf", int(col7[s]), nodes[s, :6], int(s)))
             else:
-                ent.append(("int", int(s), nodes[s, :6]))
+                ent.append(("int", int(s), nodes[s, :6], int(s)))
                 depth[int(s)] = d_my + 1
                 pending.append(int(s))
         out.append(ent)
         return my
 
     if col7[0] >= 0:
-        out.append([("leaf", int(col7[0]), nodes[0, :6])])
+        out.append([("leaf", int(col7[0]), nodes[0, :6], 0)])
     else:
         create(0)
         while pending:
@@ -155,6 +161,13 @@ def collapse4(nodes8: np.ndarray, num_nodes: int, width: int = 4,
         # per visit).
         rpn = node_floats // PACK_LANES
         packed = arr.reshape(n4 * rpn, PACK_LANES)
+    ret = (packed, n4)
     if return_depth:
-        return packed, n4, max_depth + 1
-    return packed, n4
+        ret = ret + (max_depth + 1,)
+    if return_slots:
+        slot_rows = np.full((n4, width), -1, np.int32)
+        for qid, ent in enumerate(out):
+            for c, e in enumerate(ent):
+                slot_rows[qid, c] = e[3]
+        ret = ret + (slot_rows,)
+    return ret if len(ret) > 2 else (packed, n4)

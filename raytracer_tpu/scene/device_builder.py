@@ -107,14 +107,22 @@ class DeviceSceneBuilder:
       transform/graft program (scene/instanced.py). SAH tree quality
       (exp31: 1.53x faster renders than the LBVH tree at 97.8k tris) and
       per-edit cost independent of hierarchy building.
+    * ``refit`` — fixed captured topology (host SAH/PLOC, once per
+      instance set) + one jitted per-edit AABB-refit/repack program
+      (scene/refit.py). Per-edit device work is O(scene) dense vector
+      ops with NO tree building — the exp37 answer to "quality tree or
+      fast rebuild, pick one". Arbitrary instance counts.
     * ``lbvh`` — the fully on-device Morton/Karras rebuild (bvh/lbvh.py);
-      the general path for > MAX_INSTANCES instances and the A/B record.
+      the general path for true per-frame GEOMETRY changes (refit
+      assumes the triangle->leaf assignment stays valid) and the A/B
+      record.
     """
 
     def __init__(self):
         self._mesh_cache: dict[str, jnp.ndarray] = {}
         self._blas_cache: dict[str, "object"] = {}
         self._param_cache: dict[tuple, tuple] = {}
+        self._refit_cache: dict[tuple, "object"] = {}
 
     def _mesh(self, path: str):
         mesh = self._mesh_cache.get(path)
@@ -182,6 +190,17 @@ class DeviceSceneBuilder:
             except Exception:
                 _log.exception("instanced build failed; using LBVH")
 
+        if mode in ("refit", "instanced"):
+            # Fixed captured topology + per-edit device refit
+            # (scene/refit.py) — also the > MAX_INSTANCES fallback for
+            # the default instanced mode (rigid SRT edits, any count).
+            try:
+                built = self._refit_build(live)
+                if built is not None:
+                    return built
+            except Exception:
+                _log.exception("refit build failed; using LBVH")
+
         meshes = [self._mesh(inst.model_path) for inst in live]
         params = [self._params(inst) for inst in live]
         total = sum(m.shape[0] for m in meshes)
@@ -194,6 +213,33 @@ class DeviceSceneBuilder:
         tree = os.environ.get("RAYTPU_DEVICE_TREE", "karras")
         return _assemble_and_build(tuple(meshes), tuple(params), capacity,
                                    tree=tree)
+
+    def _refit_build(self, live: Sequence[ModelInstance]):
+        """Captured-topology refit (scene/refit.py). Returns None when a
+        fresh capture is needed but impossible (tiny scenes)."""
+        import os
+
+        from raytracer_tpu.scene.refit import capture_refit
+
+        key = tuple(inst.model_path for inst in live)
+        params = [((tuple(float(x) for x in inst.scale)),
+                   tuple(float(x) for x in inst.position),
+                   tuple(float(x) for x in inst.color),
+                   float(inst.material_type)) for inst in live]
+        cap = self._refit_cache.get(key)
+        # Optional topology refresh: rigid drags keep the captured tree
+        # valid; RAYTPU_REFIT_REFRESH=N recaptures (re-anchoring quality
+        # to the current pose) every N edits. Default 0 = never — edits
+        # only move AABBs, the tree stays the capture-time one.
+        refresh = int(os.environ.get("RAYTPU_REFIT_REFRESH", "0"))
+        if cap is not None and refresh and cap.edits >= refresh:
+            cap = None
+        if cap is None:
+            meshes = [np.asarray(self._mesh(inst.model_path))
+                      for inst in live]
+            cap = capture_refit(meshes, params)
+            self._refit_cache[key] = cap
+        return cap.refit(params)
 
     def _try_mesh(self, inst: ModelInstance):
         try:
