@@ -58,12 +58,25 @@ def _num_bands(cfg: RenderConfig) -> int:
     return bands
 
 
-def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
-                 cfg: RenderConfig):
-    """scene + camera + accumulation -> (new accum, u8 frame, stats)."""
+def _render_linear(scene, cam: CameraUniforms, cfg: RenderConfig, *,
+                   y_base=0, global_height: Optional[int] = None,
+                   sample_offset=0):
+    """Linear radiance for a cfg-sized frame -> (linear [H,W,3], rays).
+
+    The FULL production pipeline — band split, spp loop, cross-band
+    tail merge, graveyard deposits — shared verbatim by the single-chip
+    step (`_render_step`) and the multi-chip shard_map step
+    (`parallel/sharding.py`), so the sharded path exercises exactly the
+    code `bench.py` times (no second implementation to drift).
+
+    ``y_base``/``global_height`` render this frame as a row band of a
+    taller global frame (the dp shard axis; both may be traced values);
+    ``sample_offset`` shifts sample indices (the sp shard axis).
+    """
     import dataclasses
 
     spp = cfg.samples_per_pixel
+    gh = global_height or cfg.height
     from raytracer_tpu.core.fast_types import FastScene
 
     if cfg.kernel == "packet" and isinstance(scene, FastScene):
@@ -76,7 +89,7 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
     nb = _num_bands(cfg)
     band_h = cfg.height // nb
     band_cfg = dataclasses.replace(cfg, height=band_h)
-    y_offsets = jnp.arange(nb, dtype=jnp.int32) * band_h
+    y_offsets = jnp.arange(nb, dtype=jnp.int32) * band_h + y_base
 
     tm = None
     if rl is not render_linear:
@@ -104,8 +117,8 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
 
             def render_band(_, y0):
                 color, stats, surv = rl(
-                    scene, cam, band_cfg, sample_index=i, y_offset=y0,
-                    global_height=cfg.height, tail_handoff=handoff)
+                    scene, cam, band_cfg, sample_index=sample_offset + i,
+                    y_offset=y0, global_height=gh, tail_handoff=handoff)
                 return None, (color, stats["rays_traced"],
                               surv[0], surv[1])
 
@@ -113,6 +126,10 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
                 render_band, None, y_offsets)
             sf = jnp.moveaxis(sfs, 0, 1).reshape(sfs.shape[1], -1)
             si = jnp.moveaxis(sis, 0, 1).reshape(sis.shape[1], -1)
+            # Survivor pixel ids are global (handoff contract); deposits
+            # target THIS frame's [hw] buffers. Shift by the frame's base
+            # row — pad sentinels (gh*w) land >= hw and drop either way.
+            si = si.at[1].add(-jnp.int32(y_base) * cfg.width)
             cx, cy, cz, trays = wavefront_tail(
                 scene, sf, si, cam.sky_enabled > 0, cfg, out_size=hw)
             tail = jnp.stack(
@@ -128,8 +145,9 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
         def render_band(_, y0):
             def sample_body(i, carry):
                 total, rays = carry
-                color, stats = rl(scene, cam, band_cfg, sample_index=i,
-                                  y_offset=y0, global_height=cfg.height)
+                color, stats = rl(scene, cam, band_cfg,
+                                  sample_index=sample_offset + i,
+                                  y_offset=y0, global_height=gh)
                 return total + color, rays + stats["rays_traced"]
 
             init = (jnp.zeros((band_h, cfg.width, 3), jnp.float32),
@@ -140,7 +158,14 @@ def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
         _, (bands, band_rays) = jax.lax.scan(render_band, None, y_offsets)
         total = bands.reshape(cfg.height, cfg.width, 3)
         rays = jnp.sum(band_rays)
-    linear = total / jnp.float32(spp)
+    return total / jnp.float32(spp), rays
+
+
+def _render_step(scene, cam: CameraUniforms, accum: jnp.ndarray,
+                 cfg: RenderConfig):
+    """scene + camera + accumulation -> (new accum, u8 frame, stats)."""
+    spp = cfg.samples_per_pixel
+    linear, rays = _render_linear(scene, cam, cfg)
 
     # Progressive running average keyed on frame_count — the accumulation
     # the reference wired through the UBO but never implemented in the

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raytracer_tpu.core.types import CameraUniforms, RenderConfig
-from raytracer_tpu.engine.renderer import tonemap
+from raytracer_tpu.engine.renderer import _render_linear, tonemap
 from raytracer_tpu.utils.log import get_logger
 
 _log = get_logger("mesh")
@@ -67,30 +67,24 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
     if cfg.samples_per_pixel % n_sp:
         raise ValueError("samples_per_pixel must be divisible by sp")
     spp_local = cfg.samples_per_pixel // n_sp
-
-    if cfg.kernel == "packet":
-        from raytracer_tpu.kernels.packet import render_linear_fast as rl
-    else:
-        from raytracer_tpu.kernels.tracer import render_linear as rl
+    local_cfg = dataclasses.replace(local_cfg,
+                                    samples_per_pixel=spp_local)
 
     def shard_fn(scene, cam: CameraUniforms, accum):
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
-        y0 = dp_idx * shard_h
 
-        def sample_body(i, carry):
-            total, rays = carry
-            color, stats = rl(scene, cam, local_cfg,
-                              sample_index=sp_idx * spp_local + i,
-                              y_offset=y0, global_height=cfg.height)
-            return total + color, rays + stats["rays_traced"]
-
-        init = (jnp.zeros((shard_h, cfg.width, 3), jnp.float32),
-                jnp.float32(0))
-        total, rays = jax.lax.fori_loop(0, spp_local, sample_body, init)
+        # THE production render pipeline (band split, tail merge,
+        # graveyard deposits — engine/renderer._render_linear), run on
+        # this shard's row band / sample slice. One implementation for
+        # single- and multi-chip.
+        linear, rays = _render_linear(
+            scene, cam, local_cfg,
+            y_base=dp_idx * shard_h, global_height=cfg.height,
+            sample_offset=sp_idx * spp_local)
 
         # The one collective: average sample shards over ICI.
-        linear = jax.lax.pmean(total / spp_local, "sp")
+        linear = jax.lax.pmean(linear, "sp")
         rays = jax.lax.psum(rays, "sp")
         rays = jax.lax.psum(rays, "dp")
 

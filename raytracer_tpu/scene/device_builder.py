@@ -194,8 +194,12 @@ class DeviceSceneBuilder:
             # Fixed captured topology + per-edit device refit
             # (scene/refit.py) — also the > MAX_INSTANCES fallback for
             # the default instanced mode (rigid SRT edits, any count).
+            # The fallback case recaptures periodically by default so
+            # sustained cross-instance motion can't degrade tree quality
+            # without bound (explicit refit mode keeps the user's knob).
             try:
-                built = self._refit_build(live)
+                built = self._refit_build(
+                    live, default_refresh=0 if mode == "refit" else 256)
                 if built is not None:
                     return built
             except Exception:
@@ -214,9 +218,11 @@ class DeviceSceneBuilder:
         return _assemble_and_build(tuple(meshes), tuple(params), capacity,
                                    tree=tree)
 
-    def _refit_build(self, live: Sequence[ModelInstance]):
+    def _refit_build(self, live: Sequence[ModelInstance],
+                     default_refresh: int = 0):
         """Captured-topology refit (scene/refit.py). Returns None when a
-        fresh capture is needed but impossible (tiny scenes)."""
+        fresh capture is needed but impossible (tiny scenes: capture
+        needs >= 2 leaves)."""
         import os
 
         from raytracer_tpu.scene.refit import capture_refit
@@ -227,17 +233,31 @@ class DeviceSceneBuilder:
                    tuple(float(x) for x in inst.color),
                    float(inst.material_type)) for inst in live]
         cap = self._refit_cache.get(key)
-        # Optional topology refresh: rigid drags keep the captured tree
-        # valid; RAYTPU_REFIT_REFRESH=N recaptures (re-anchoring quality
-        # to the current pose) every N edits. Default 0 = never — edits
-        # only move AABBs, the tree stays the capture-time one.
-        refresh = int(os.environ.get("RAYTPU_REFIT_REFRESH", "0"))
+        # Topology refresh: rigid drags keep the captured tree valid;
+        # recapture every N edits re-anchors quality to the current pose.
+        # RAYTPU_REFIT_REFRESH overrides; the caller sets the default
+        # (0 = never for explicit refit mode, periodic for fallbacks).
+        refresh = int(os.environ.get("RAYTPU_REFIT_REFRESH",
+                                     str(default_refresh)))
         if cap is not None and refresh and cap.edits >= refresh:
+            _log.info("refit topology refresh after %d edits (%s)",
+                      cap.edits, key)
             cap = None
         if cap is None:
             meshes = [np.asarray(self._mesh(inst.model_path))
                       for inst in live]
-            cap = capture_refit(meshes, params)
+            try:
+                cap = capture_refit(meshes, params)
+            except ValueError as e:
+                # Normal fallback for tiny scenes (< 2 leaves), not an
+                # error: the caller routes to the LBVH path.
+                _log.info("refit capture unavailable: %s", e)
+                return None
+            # Bound device-table pinning: each capture holds full-scene
+            # HBM tables, so keep only the most recent few instance sets
+            # (mirrors the _param_cache bound).
+            if len(self._refit_cache) >= 4 and key not in self._refit_cache:
+                self._refit_cache.pop(next(iter(self._refit_cache)))
             self._refit_cache[key] = cap
         return cap.refit(params)
 

@@ -50,7 +50,7 @@ from raytracer_tpu.bvh.build import AABB_EPS, build_bvh
 from raytracer_tpu.bvh.bvh4 import collapse4
 from raytracer_tpu.bvh.lbvh import _range_minmax
 from raytracer_tpu.core.fast_types import (CLUSTER_ROW, CLUSTER_SIZE,
-                                           TRI_STRIDE, WIDE_WIDTH, FastScene)
+                                           WIDE_WIDTH, FastScene)
 from raytracer_tpu.utils.log import get_logger
 
 _log = get_logger("srt")

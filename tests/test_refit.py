@@ -133,15 +133,17 @@ def test_refit_containment_invariants():
                             <= table[row, s, 3:6] + eps).all()
 
 
-def test_device_builder_refit_mode(monkeypatch):
+def test_device_builder_refit_mode(monkeypatch, tmp_path):
     """DeviceSceneBuilder routes refit mode and serves edits from the
     captured topology (one capture, many refits)."""
     from raytracer_tpu.scene.device_builder import DeviceSceneBuilder
     from raytracer_tpu.scene.scene import ModelInstance
-    from raytracer_tpu.utils.assets import asset_path
 
     monkeypatch.setenv("RAYTPU_DEVICE_BUILD", "refit")
-    path = asset_path("ground_plane.obj")
+    # A mesh big enough for >= 2 leaves so the capture path actually
+    # runs (a 2-tri plane collapses to one leaf -> LBVH fallback).
+    path = str(tmp_path / "terrain.obj")
+    assets.write_obj(path, assets.make_terrain(n=12))
     builder = DeviceSceneBuilder()
     instances = [
         ModelInstance(model_path=path, display_name="a",
@@ -152,17 +154,36 @@ def test_device_builder_refit_mode(monkeypatch):
                       color=(0.8, 0.2, 0.2)),
     ]
     s1 = builder.build(instances)
-    assert len(builder._refit_cache) <= 1
-    if not builder._refit_cache:
-        pytest.skip("scene too small for refit capture; lbvh fallback")
+    assert len(builder._refit_cache) == 1
     import dataclasses as dc
 
     moved = list(instances)
     moved[1] = dc.replace(moved[1], position=(3.0, 5.0, 1.0))
     s2 = builder.build(moved)
     assert len(builder._refit_cache) == 1
+    cap = next(iter(builder._refit_cache.values()))
+    assert cap.edits == 2
     assert int(s1.num_triangles) == int(s2.num_triangles)
     # the edit actually moved boxes
     a = np.asarray(s1.nodes8)[:, :6]
     b = np.asarray(s2.nodes8)[:, :6]
     assert np.abs(a - b).max() > 0.5
+
+
+def test_device_builder_tiny_scene_falls_back(monkeypatch):
+    """A < 2-leaf scene can't capture: refit mode logs at info and falls
+    back to the LBVH path (no ERROR traceback, ADVICE r4)."""
+    from raytracer_tpu.scene.device_builder import DeviceSceneBuilder
+    from raytracer_tpu.scene.scene import ModelInstance
+    from raytracer_tpu.utils.assets import asset_path
+
+    monkeypatch.setenv("RAYTPU_DEVICE_BUILD", "refit")
+    path = asset_path("ground_plane.obj")
+    builder = DeviceSceneBuilder()
+    s = builder.build([
+        ModelInstance(model_path=path, display_name="a",
+                      position=(0.0, -5.0, 0.0), scale=(30.0, 1.0, 30.0),
+                      color=(0.5, 0.5, 0.5)),
+    ])
+    assert not builder._refit_cache
+    assert int(s.num_triangles) == 2
