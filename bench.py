@@ -195,8 +195,13 @@ def main():
     # RAYTPU_BENCH_CHAIN=k (static modes only): render k progressive
     # frames per dispatch via lax.scan (engine/renderer.render_chain) —
     # amortizes per-dispatch host/tunnel overhead, the dominant cost on
-    # small fixed-light frames (c12_cube).
-    chain = int(os.environ.get("RAYTPU_BENCH_CHAIN", "1"))
+    # small fixed-light frames. c12_cube defaults to chaining: the r4c
+    # sweep measured 131.7 (unchained) -> 158.1 (k=16) -> 181.6 FPS
+    # (k=32, 1.51x baseline); deep modes are kernel-bound and chain ~0.
+    default_chain = "16" if mode == "c12_cube" else "1"
+    chain = int(os.environ.get("RAYTPU_BENCH_CHAIN", default_chain))
+    if n_frames % chain:
+        chain = 1
     if chain > 1 and per_frame is None:
         assert n_frames % chain == 0, "frames must divide by the chain"
         # Warm the chained executable too.

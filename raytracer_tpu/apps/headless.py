@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save the accumulation state here at the end; if "
                         "the file exists, resume from it (render N more "
                         "frames on top)")
+    p.add_argument("--chain", type=int, default=0,
+                   help="progressive frames per device dispatch "
+                        "(engine/renderer.render_chain; bit-identical to "
+                        "sequential frames, amortizes per-dispatch tunnel "
+                        "overhead). 0 = auto (largest of 8/4/2 dividing "
+                        "--frames), 1 = off")
     return p
 
 
@@ -170,15 +176,24 @@ def main(argv=None) -> int:
         else:
             _log.warning("checkpoint resolution mismatch; starting fresh")
 
+    chain = args.chain
+    if chain <= 0:  # auto: chain when it divides the frame budget
+        chain = next((k for k in (8, 4, 2) if args.frames % k == 0), 1)
+    if args.devices:
+        chain = 1  # MeshRenderer steps frame-by-frame
+
     t0 = time.perf_counter()
     stats = {}
-    for f in range(start_frame, start_frame + args.frames):
+    for f in range(start_frame, start_frame + args.frames, chain):
         cam.frame_count = f
-        accum, image, stats = renderer.render(
-            device_scene,
-            cam.uniforms(sky_enabled=not args.no_sky,
-                         exposure=args.exposure),
-            accum)
+        uniforms = cam.uniforms(sky_enabled=not args.no_sky,
+                                exposure=args.exposure)
+        if chain > 1:
+            accum, image, stats = renderer.render_chain(
+                device_scene, uniforms, accum, chain)
+        else:
+            accum, image, stats = renderer.render(device_scene, uniforms,
+                                                  accum)
     pixels = np.asarray(image)
     render_s = time.perf_counter() - t0
 

@@ -410,9 +410,13 @@ def main(argv=None) -> int:
     p.add_argument("--assets", default="/root/reference/objects")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"),
                    default="auto")
-    p.add_argument("--ladder", type=int, default=4,
+    p.add_argument("--ladder", type=int, default=0,
                    help="preview (half-res) frames after each camera/scene "
-                        "event before switching to full res; 0 disables")
+                        "event before switching to full res; 0 disables "
+                        "(default off: exp26 r4c measured keypress->frame "
+                        "median 161 ms ladder-on vs 142 ms ladder-off at "
+                        "720p — the preview dispatch + swap overhead "
+                        "exceeds the quarter-res saving)")
     args = p.parse_args(argv)
     from raytracer_tpu.apps.headless import apply_device_flag
 

@@ -147,6 +147,20 @@ class RenderEngine:
         self._frame_box = _Mailbox()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._publisher: Optional[threading.Thread] = None
+        # Pipelined readbacks (r5, VERDICT item 5): each frame's
+        # device->host fetch STARTS at dispatch time on a reader pool and
+        # a dedicated publisher thread emits frames in order, so the VRT
+        # never blocks in np.asarray. exp26 measured the event frame's
+        # latency as wait (median ~36 ms: the VRT stuck in a stale
+        # frame's readback when the key lands) + ~105 ms tunnel RTT
+        # floor; this removes the wait term — the VRT sees the keypress
+        # within ~1 ms and the preview/full dispatch overlaps the stale
+        # readback instead of queueing behind it.
+        self._readback_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="RB")
+        self._pending = collections.deque()
+        self._pending_cv = threading.Condition()
         self._rebuild_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="SRT")
         self._build_in_flight = threading.Event()
@@ -222,16 +236,28 @@ class RenderEngine:
         self._running = True
         self._thread = threading.Thread(target=self._main_loop, name="VRT",
                                         daemon=True)
+        self._publisher = threading.Thread(target=self._publish_loop,
+                                           name="PUB", daemon=True)
         self._thread.start()
+        self._publisher.start()
 
     def stop(self, timeout: float = 5.0) -> None:
         self._running = False
+        with self._pending_cv:
+            self._pending_cv.notify_all()
         if self._thread is not None:
             self._thread.join(timeout)
             if self._thread.is_alive():
                 _log_vrt.warning("render thread did not stop in %.1fs",
                                  timeout)
+        if self._publisher is not None:
+            # The publisher drains the in-flight tail before exiting, so
+            # the last submitted frame is never lost.
+            self._publisher.join(timeout)
+            if self._publisher.is_alive():
+                _log_vrt.warning("publisher did not stop in %.1fs", timeout)
         self._rebuild_pool.shutdown(wait=False)
+        self._readback_pool.shutdown(wait=False)
 
     # --- the render loop (VRT) ----------------------------------------------
 
@@ -254,8 +280,6 @@ class RenderEngine:
         # headless runs keep depth 2 for max device occupancy.
         default_depth = "1" if self._preview is not None else "2"
         depth = max(1, int(os.environ.get("RAYTPU_PIPELINE", default_depth)))
-        pending = collections.deque()  # (image, stats, t_submit, preview,
-        #                                 event_t)
         last_fc = 0
         pending_event_t = None  # keypress time awaiting its first frame
         last_event_t = None     # latest user-action stamp already seen
@@ -263,9 +287,8 @@ class RenderEngine:
             while self._running:
                 new_scene, scene_fresh = self._scene_box.take()
                 if scene_fresh:
-                    # Flush in-flight frames before swapping.
-                    while pending:
-                        self._publish(*pending.popleft())
+                    # Let the publisher flush in-flight frames, then swap.
+                    self._drain_pending()
                     scene = new_scene
                     accum = None  # scene swap resets accumulation buffers
                     accum_p = None
@@ -295,10 +318,10 @@ class RenderEngine:
                     ev = getattr(cam, "event_t", None)
                     if ev is not None and ev != last_event_t:
                         last_event_t = ev
-                        pending.clear()
+                        self._clear_pending()
                         pending_event_t = float(ev)
                     elif ev is None and fc_now < last_fc:
-                        pending.clear()
+                        self._clear_pending()
                         pending_event_t = time.perf_counter()
                     last_fc = fc_now
 
@@ -306,10 +329,20 @@ class RenderEngine:
                     time.sleep(0.016)  # idle until scene+camera arrive
                     continue
 
+                # Backpressure: previews wait for a fully drained pipe
+                # (they exist to minimize latency, not throughput); full
+                # frames run up to `depth` ahead of the publisher. The
+                # wait is a short poll so mailbox events stay live.
+                fc = self._host_fc(cam)
+                preview = (self._preview is not None
+                           and fc < self._ladder_frames)
+                with self._pending_cv:
+                    room = len(self._pending) <= (0 if preview else depth)
+                if not room:
+                    time.sleep(0.001)
+                    continue
+
                 try:
-                    fc = self._host_fc(cam)
-                    preview = (self._preview is not None
-                               and fc < self._ladder_frames)
                     t0 = time.perf_counter()
                     if preview:
                         if accum_p is None:
@@ -332,24 +365,59 @@ class RenderEngine:
                         with self.profiler.stage("dispatch"):
                             accum, image, stats = self.renderer.render(
                                 scene, cam_r, accum)
-                    pending.append((image, stats, t0, preview,
-                                    pending_event_t))
+                    # Device->host fetch starts NOW, on the reader pool;
+                    # the publisher emits it in order when it completes.
+                    fut = self._readback_pool.submit(np.asarray, image)
+                    with self._pending_cv:
+                        self._pending.append((fut, stats, t0, preview,
+                                              pending_event_t))
+                        self._pending_cv.notify_all()
                     pending_event_t = None
-                    # Preview (ladder) frames publish immediately: they are
-                    # tiny (quarter-area) and exist only to minimize
-                    # keypress-to-frame latency, so deep pipelining is the
-                    # wrong trade for them.
-                    limit = 0 if preview else depth
-                    while len(pending) > limit:
-                        self._publish(*pending.popleft())
                 except Exception:
                     _log_vrt.exception("render step failed; continuing")
-                    pending.clear()
+                    self._clear_pending()
                     time.sleep(0.1)
-            while pending:
-                self._publish(*pending.popleft())
         finally:
             _log_vrt.info("render thread exiting")
+
+    def _publish_loop(self) -> None:
+        """Publisher thread: pop in-order, wait the readback, publish.
+        Exits once stopped AND drained (the stop() flush guarantee)."""
+        _log_vrt.info("publisher thread started")
+        try:
+            while True:
+                with self._pending_cv:
+                    while not self._pending and self._running:
+                        self._pending_cv.wait(0.05)
+                    if not self._pending:
+                        if not self._running:
+                            return
+                        continue
+                    entry = self._pending.popleft()
+                    self._pending_cv.notify_all()  # wake VRT backpressure
+                fut, stats, t0, preview, event_t = entry
+                try:
+                    with self.profiler.stage("readback"):
+                        pixels = fut.result()
+                    self._publish(pixels, stats, t0, preview, event_t)
+                except Exception:
+                    _log_vrt.exception("frame readback failed; continuing")
+        finally:
+            _log_vrt.info("publisher thread exiting")
+
+    def _clear_pending(self) -> None:
+        """Drop unpublished in-flight frames (stale after a user event).
+        Their readbacks finish in the background and are discarded."""
+        with self._pending_cv:
+            self._pending.clear()
+            self._pending_cv.notify_all()
+
+    def _drain_pending(self, timeout: float = 30.0) -> None:
+        """Wait until the publisher has emitted every in-flight frame."""
+        deadline = time.monotonic() + timeout
+        with self._pending_cv:
+            while self._pending and time.monotonic() < deadline:
+                self._pending_cv.wait(0.05)
 
     @staticmethod
     def _host_fc(cam) -> int:
@@ -362,10 +430,10 @@ class RenderEngine:
             fc = int(np.asarray(cam.frame_count))
         return int(fc)
 
-    def _publish(self, image, stats, t_submit, preview=False,
+    def _publish(self, pixels: np.ndarray, stats, t_submit, preview=False,
                  event_t=None) -> None:
-        with self.profiler.stage("readback"):
-            pixels = np.asarray(image)  # device -> host (sync point)
+        """Publisher-thread only (single-writer: profiler/meter/frame_box
+        and the latency fields are written here and nowhere else)."""
         if preview:
             # Upscale to the full frame size so consumers see one shape.
             fy = self.cfg.height // pixels.shape[0]

@@ -60,7 +60,7 @@ def _num_bands(cfg: RenderConfig) -> int:
 
 def _render_linear(scene, cam: CameraUniforms, cfg: RenderConfig, *,
                    y_base=0, global_height: Optional[int] = None,
-                   sample_offset=0):
+                   sample_offset=0, n_samples: Optional[int] = None):
     """Linear radiance for a cfg-sized frame -> (linear [H,W,3], rays).
 
     The FULL production pipeline — band split, spp loop, cross-band
@@ -71,11 +71,14 @@ def _render_linear(scene, cam: CameraUniforms, cfg: RenderConfig, *,
 
     ``y_base``/``global_height`` render this frame as a row band of a
     taller global frame (the dp shard axis; both may be traced values);
-    ``sample_offset`` shifts sample indices (the sp shard axis).
+    ``sample_offset``/``n_samples`` render a slice of the sample budget
+    (the sp shard axis). cfg keeps the GLOBAL samples_per_pixel either
+    way — kernels fold it into the RNG stream (tracer.initial_seed), so
+    localizing it would change seeds.
     """
     import dataclasses
 
-    spp = cfg.samples_per_pixel
+    spp = n_samples if n_samples is not None else cfg.samples_per_pixel
     gh = global_height or cfg.height
     from raytracer_tpu.core.fast_types import FastScene
 

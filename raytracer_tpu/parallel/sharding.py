@@ -67,8 +67,6 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
     if cfg.samples_per_pixel % n_sp:
         raise ValueError("samples_per_pixel must be divisible by sp")
     spp_local = cfg.samples_per_pixel // n_sp
-    local_cfg = dataclasses.replace(local_cfg,
-                                    samples_per_pixel=spp_local)
 
     def shard_fn(scene, cam: CameraUniforms, accum):
         dp_idx = jax.lax.axis_index("dp")
@@ -81,7 +79,7 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh):
         linear, rays = _render_linear(
             scene, cam, local_cfg,
             y_base=dp_idx * shard_h, global_height=cfg.height,
-            sample_offset=sp_idx * spp_local)
+            sample_offset=sp_idx * spp_local, n_samples=spp_local)
 
         # The one collective: average sample shards over ICI.
         linear = jax.lax.pmean(linear, "sp")

@@ -66,6 +66,19 @@ def test_parser_rejects_zero_frames(scene_json):
         main(["--scene", scene_json, "--frames", "0"])
 
 
+def test_headless_chain_matches_unchained(tmp_path, scene_json):
+    """--chain k (k frames per dispatch via lax.scan, the default for
+    divisible frame budgets) must be bit-identical to sequential frames."""
+    common = ["--scene", scene_json, "--width", "32", "--height", "24",
+              "--max-bounces", "2", "--camera", "0,2,25", "--vfov", "40",
+              "--frames", "4"]
+    seq = str(tmp_path / "seq.png")
+    main(common + ["-o", seq, "--chain", "1"])
+    chained = str(tmp_path / "chained.png")
+    main(common + ["-o", chained, "--chain", "4"])
+    np.testing.assert_array_equal(read_png(seq), read_png(chained))
+
+
 def test_headless_multichip_matches_single(tmp_path, scene_json):
     """--devices 8 --sp 2 on the virtual CPU mesh must produce the
     bit-identical image to the single-device run (same seeds, same
