@@ -15,8 +15,19 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "render_images")
 os.makedirs(OUT, exist_ok=True)
 
-W, H = 480, 272
+W, H = 848, 480
 FRAMES = int(os.environ.get("GALLERY_FRAMES", "24"))
+
+# Side-by-side mapping to the reference's golden renders
+# (/root/reference/render_images/, GALLERY.md): our preset -> its golden.
+REF_MAP = {
+    "cube_plane": "pre-steps (first compute.comp cube renders)",
+    "sphere_light": "pre-steps (emissive-sun experiments)",
+    "moon_emissive": "pre-steps (Moon scene)",
+    "two_humans": "two-humans.png (2x FinalBaseMesh, same asset)",
+    "car_showcase": "car-render-ss.png / car-with-human.png (car.obj is "
+                    "gitignored upstream; white_mesh + terrain stand in)",
+}
 
 rows = []
 for name, factory in ALL_PRESETS.items():
@@ -43,8 +54,18 @@ for name, factory in ALL_PRESETS.items():
 with open(os.path.join(os.path.dirname(OUT), "GALLERY.md"), "w") as f:
     f.write("# Gallery — the 5 BASELINE benchmark scenes\n\n"
             f"Rendered by the packet tracer at {W}x{H}, {FRAMES} "
-            "accumulated frames each (progressive RNG).\n\n")
+            "accumulated frames each (progressive RNG).\n\n"
+            "The reference ships 15 golden renders "
+            "(`render_images/` + `GALLERY.md` upstream); each scene "
+            "below notes the golden it corresponds to. Differences by "
+            "design: progressive accumulation actually averages (the "
+            "shipped reference kernel re-renders the identical sample "
+            "every frame), Emissive emits, and exposure works — so our "
+            "renders are less noisy and lit scenes are brighter than "
+            "the goldens.\n\n")
     for name, fname, tris, frames, dt in rows:
+        ref = REF_MAP.get(name, "-")
         f.write(f"## {name}\n\n{tris:,} triangles — {frames} frames in "
-                f"{dt:.1f}s\n\n![{name}](render_images/{fname})\n\n")
+                f"{dt:.1f}s — reference golden: {ref}\n\n"
+                f"![{name}](render_images/{fname})\n\n")
 print("DONE", flush=True)
