@@ -43,7 +43,7 @@ class ViewerApp:
     """Single-writer owner of camera/scene/settings state."""
 
     def __init__(self, cfg: RenderConfig, scene: Scene,
-                 ladder_frames: int = 4):
+                 ladder_frames: int = 8):
         self.cfg = cfg
         self.scene = scene
         self.camera = default_camera(cfg.width, cfg.height)
@@ -410,13 +410,17 @@ def main(argv=None) -> int:
     p.add_argument("--assets", default="/root/reference/objects")
     p.add_argument("--device", choices=("auto", "cpu", "tpu"),
                    default="auto")
-    p.add_argument("--ladder", type=int, default=0,
-                   help="preview (half-res) frames after each camera/scene "
-                        "event before switching to full res; 0 disables "
-                        "(default off: exp26 r4c measured keypress->frame "
-                        "median 161 ms ladder-on vs 142 ms ladder-off at "
-                        "720p — the preview dispatch + swap overhead "
-                        "exceeds the quarter-res saving)")
+    p.add_argument("--ladder", type=int, default=8,
+                   help="preview (quarter-res) frames after each "
+                        "camera/scene event before switching to full res; "
+                        "0 disables. Default 8: with the r5 pipelined "
+                        "readbacks (the VRT no longer blocks in a stale "
+                        "frame's fetch) exp26 r5c measured keypress->frame "
+                        "median 174 ms ladder-on vs 260 ms ladder-off at "
+                        "720p — the cheap preview now publishes ahead of "
+                        "the in-flight full-res frame. (Under r4c's "
+                        "blocking loop the same A/B read 161 vs 142 ms, "
+                        "which is why the default was briefly 0.)")
     args = p.parse_args(argv)
     from raytracer_tpu.apps.headless import apply_device_flag
 

@@ -215,16 +215,46 @@ def _render_chain(scene, cam, accum, *, cfg, k):
     return accum, image, stats
 
 
+def _knob_fingerprint():
+    """Trace-time env knobs (RAYTPU_*) as a hashable cache-key component.
+
+    Kernel choices (RAYTPU_WAVE, RAYTPU_SORT_KEY, ...) are read inside
+    _render_step at trace time, so the shared jit cache below must key on
+    them: a process that flips a knob and builds a new Renderer gets a
+    fresh trace, exactly as the per-instance wrappers behaved."""
+    import os
+
+    return tuple(sorted((k, v) for k, v in os.environ.items()
+                        if k.startswith("RAYTPU_")))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_step(cfg: RenderConfig, _knobs):
+    return jax.jit(functools.partial(_render_step, cfg=cfg),
+                   donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_chain(cfg: RenderConfig, k: int, _knobs):
+    return jax.jit(functools.partial(_render_chain, cfg=cfg, k=k),
+                   donate_argnums=(2,))
+
+
 class Renderer:
-    """Compiled render-step cache + accumulation buffer lifecycle."""
+    """Compiled render-step cache + accumulation buffer lifecycle.
+
+    The jitted step is shared process-wide across Renderer instances with
+    equal (frozen) configs and RAYTPU_* knobs: re-instantiating a
+    Renderer — a second headless run in one process, a viewer ladder
+    swap, a bench arm — must NOT retrace. On the axon tunnel a retrace of
+    the 720p step costs ~25-30 s even when the remote compile cache hits
+    (measured by exp38 r5c: the 'warm' headless invocation spent 33 s on
+    32 frames, ~29 s of it the avoidable retrace)."""
 
     def __init__(self, config: Optional[RenderConfig] = None):
         self.cfg = config or RenderConfig()
-        self._step = jax.jit(
-            functools.partial(_render_step, cfg=self.cfg),
-            donate_argnums=(2,),
-        )
-        self._chains: dict[int, object] = {}
+        self._knobs = _knob_fingerprint()
+        self._step = _jit_step(self.cfg, self._knobs)
 
     def new_accumulator(self) -> jnp.ndarray:
         return jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
@@ -244,13 +274,7 @@ class Renderer:
                      accum: Optional[jnp.ndarray], k: int):
         """k progressive frames in one dispatch (see _render_chain);
         the caller's frame counter should advance by k afterwards."""
-        step = self._chains.get(k)
-        if step is None:
-            step = jax.jit(
-                functools.partial(_render_chain, cfg=self.cfg, k=k),
-                donate_argnums=(2,),
-            )
-            self._chains[k] = step
+        step = _jit_chain(self.cfg, k, self._knobs)
         if accum is None:
             accum = self.new_accumulator()
         return step(scene, cam, accum)

@@ -118,6 +118,34 @@ def test_scene_edit_reuses_bucket_no_recompile(tiny_scene):
     assert r._step._cache_size() == n0
 
 
+def test_renderer_instances_share_the_jitted_step(tiny_scene):
+    """Re-instantiating a Renderer with an equal cfg must reuse the SAME
+    jitted step (no retrace): a second headless run in one process, a
+    viewer ladder swap, or a bench arm would otherwise pay ~25-30 s of
+    retrace per instance on the axon tunnel (exp38 r5c). The shared cache
+    keys on (cfg, RAYTPU_* fingerprint), so flipping a trace-time knob
+    still gets a fresh trace."""
+    cfg = RenderConfig(width=W, height=H, kernel="wavefront")
+    r1 = Renderer(cfg)
+    cam = _cam()
+    r1.render(tiny_scene, cam.uniforms())
+    n0 = r1._step._cache_size()
+
+    r2 = Renderer(RenderConfig(width=W, height=H, kernel="wavefront"))
+    assert r2._step is r1._step
+    r2.render(tiny_scene, cam.uniforms())
+    assert r2._step._cache_size() == n0  # no retrace
+
+    import os
+
+    os.environ["RAYTPU_TEST_KNOB_XYZ"] = "1"
+    try:
+        r3 = Renderer(cfg)
+        assert r3._step is not r1._step  # knob flip -> fresh trace
+    finally:
+        os.environ.pop("RAYTPU_TEST_KNOB_XYZ")
+
+
 def test_render_chain_matches_sequential():
     """render_chain (k frames per dispatch via lax.scan) must produce a
     bit-identical accumulator and image to k sequential render() calls —
