@@ -115,15 +115,20 @@ def config3_moon(width=1280, height=720) -> Preset:
 
 
 def config4_two_humans(width=1280, height=720) -> Preset:
-    """~50k-triangle humanoid scene for live-edit rebuild benchmarking
-    (FinalBaseMesh is 48,918 tris after triangulation)."""
+    """Two FinalBaseMesh figures side by side (97.8k tris), matching the
+    reference's two-humans.png golden; also the live-edit rebuild
+    benchmark scene class (FinalBaseMesh is 48,918 tris after
+    triangulation)."""
     body = _asset_or("FinalBaseMesh.obj",
                      lambda: assets.make_terrain(n=158))
     scene = Scene([
         _ground(),
         ModelInstance(model_path=body, display_name="Human",
-                      position=(0.0, -10.0, 0.0), scale=(2.0, 2.0, 2.0),
+                      position=(-9.0, -10.0, 0.0), scale=(2.0, 2.0, 2.0),
                       color=(0.7, 0.6, 0.5)),
+        ModelInstance(model_path=body, display_name="Human2",
+                      position=(9.0, -10.0, 2.0), scale=(2.0, 2.0, 2.0),
+                      color=(0.5, 0.55, 0.7)),
     ])
     cam = Camera(origin=(-25.0, 30.0, 140.0), look_at=(0.0, 8.0, 0.0),
                  vfov_deg=25.0, aspect_ratio=width / height)
